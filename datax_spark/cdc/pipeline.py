@@ -1,0 +1,127 @@
+"""Structured Streaming pipeline: change-file tail → fenced MERGE → lineage.
+
+The streaming reimagining of DataX's job lifecycle (JobContainer →
+TaskGroup → reader/writer threads, SURVEY §3): Spark's file-stream source
+tails a directory of LSN-ordered change files (the stand-in for a
+binlog/LogHub/OTS-stream shard set — ``otsstreamreader/.../
+OTSStreamReaderMasterProxy.java:82-117`` shard→task assignment becomes
+source partitioning), and every micro-batch runs ``apply_changes`` inside
+``foreachBatch``.
+
+Exactly-once = Spark checkpoint (offset WAL + commit log — the engine-side
+equivalent of ``ShardCheckpoint`` persist/resume,
+``otsstreamreader/.../model/ShardCheckpoint.java:8-75``) *plus* the lake's
+batch-id fence, which makes the one replayed batch after a crash a no-op.
+
+Per-batch lineage/metrics rows (batch id, source LSN range per bucket,
+snapshot id, rows/s) are appended to ``<table>/metrics`` — the analogue of
+DataX's Communication/PerfTrace counters
+(``core/.../communication/CommunicationTool.java:16-50``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+from datax_spark.cdc.apply import apply_changes
+from datax_spark.lake.table import LakeTable
+from datax_spark.quarantine import ErrorLimits
+
+CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def write_metrics(table_root: str, metrics: dict) -> None:
+    mdir = os.path.join(table_root, "metrics")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(
+        mdir, f"batch-{metrics.get('stream_id','default')}-{metrics.get('batch_id')}.json"
+    )
+    with open(path, "w") as f:
+        json.dump(metrics, f, default=str)
+
+
+def read_metrics(table_root: str) -> list[dict]:
+    import glob
+
+    out = []
+    for p in sorted(glob.glob(os.path.join(table_root, "metrics", "batch-*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def run_stream(
+    spark: SparkSession,
+    source_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    schema: T.StructType = CHANGE_SCHEMA,
+    stream_id: str = "default",
+    max_files_per_trigger: int | None = None,
+    quarantine_dir: str | None = None,
+    error_limits: ErrorLimits | None = None,
+    available_now: bool = True,
+    timeout_sec: float | None = None,
+    stop_after_batches: int | None = None,
+):
+    """Tail parquet change files in ``source_dir`` into the lake table.
+
+    ``available_now=True`` gives a bounded replay (process everything then
+    stop) — the analogue of otsstreamreader's left-closed/right-open
+    time-window bounded tail (``RecordProcessor.java:152-185``).
+    ``stop_after_batches`` force-kills the query mid-stream for the
+    resume-from-checkpoint tests.
+    """
+    table = LakeTable(spark, table_root).load()
+    seen = {"n": 0}
+
+    def handle(batch_df: DataFrame, batch_id: int):
+        metrics = apply_changes(
+            table.load(),  # reload metadata each batch (fence freshness)
+            batch_df,
+            batch_id=batch_id,
+            stream_id=stream_id,
+            quarantine_dir=quarantine_dir,
+            error_limits=error_limits,
+        )
+        write_metrics(table_root, metrics)
+        seen["n"] += 1
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now and stop_after_batches is None:
+        writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        q.awaitTermination(timeout_sec)
+        return q
+    q = writer.start()
+    if stop_after_batches is not None:
+        import time as _t
+
+        deadline = _t.time() + (timeout_sec or 300)
+        while seen["n"] < stop_after_batches and _t.time() < deadline:
+            _t.sleep(0.2)
+        q.stop()
+        q.awaitTermination(30)
+        return q
+    q.awaitTermination(timeout_sec)
+    return q

@@ -1,0 +1,228 @@
+"""Key-partitioned MERGE INTO for LakeTable (copy-on-write, bucket-pruned).
+
+Semantics follow the reference's change-op algebra — upsert + row delete
+(``otsstreamreader/.../core/MultiVerModeRecordSender.java:23-28`` opTypes,
+``SingleVerAndUpOnlyModeRecordSender.java:40-53`` PUT/UPDATE→upsert,
+DELETE→row delete) combined with the upsert templates DataX delegates to
+sinks (``plugin-rdbms-util/.../writer/util/WriterUtil.java:111-168``
+REPLACE / ON DUPLICATE KEY UPDATE). Expressed as SQL it is::
+
+    MERGE INTO t USING c ON t.key = c.key
+    WHEN MATCHED AND c.op = 'D' AND c_newer           THEN DELETE   (tombstone)
+    WHEN MATCHED AND c.op IN ('I','U') AND c_newer    THEN UPDATE *
+    WHEN NOT MATCHED AND c.op <> 'D'                  THEN INSERT *
+
+where ``c_newer`` is the cross-batch last-writer-wins guard
+``(c.warc_ts, c.lsn) > (t.warc_ts, t._lsn)`` — stale replays are no-ops,
+which is what makes batch retries + out-of-order arrival convergent
+(SURVEY §7.4 risks 1-2).
+
+Scale design:
+- changes are LWW-deduped to one row per key with a *hash aggregate*
+  (``max_by``-style struct max), not a window sort — partial map-side
+  combine absorbs hot-key skew before any shuffle (salting is implicit in
+  partial aggregation; AQE skew-join covers the join stage).
+- only buckets containing changed keys are read and rewritten
+  (manifest-driven copy-on-write); merge cost ∝ batch, not table.
+- the deduped batch is broadcast to the target scan when small (the common
+  CDC case), so the wide target rows never shuffle; the insert anti-join
+  shuffles a key-only projection. Set ``broadcast_threshold_rows=0`` to
+  force the shuffle path (for huge backfill batches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from datax_spark.lake.table import (
+    DELETED_COL,
+    LSN_COL,
+    LakeTable,
+    bucket_expr,
+)
+
+OP_COL = "op"
+DEFAULT_BROADCAST_ROWS = 2_000_000
+
+
+def lww_dedup(changes: DataFrame, key_col: str, ts_col: str, lsn_col: str) -> DataFrame:
+    """Last-writer-wins: keep the single newest event per key by
+    ``(ts, lsn)``.
+
+    Implemented as an aggregate of ``max(struct(ts, lsn, payload...))``
+    rather than ``row_number() OVER`` — the hash aggregate gets map-side
+    partial combine (each task reduces its own slice of a hot key first),
+    so a key with 10M updates in one batch costs ~one row per task in the
+    shuffle instead of 10M rows into one window partition. ``lsn`` is a
+    unique total order, so ties cannot reach the payload fields.
+    """
+    payload = [c for c in changes.columns if c not in (key_col,)]
+    ordered = [ts_col, lsn_col] + [c for c in payload if c not in (ts_col, lsn_col)]
+    packed = changes.groupBy(key_col).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("_w")
+    )
+    return packed.select(key_col, *[F.col(f"_w.{c}").alias(c) for c in ordered])
+
+
+def bulk_load(
+    table: LakeTable,
+    df: DataFrame,
+    lsn: int = 0,
+    operation: str = "append",
+) -> dict:
+    """Initial/bulk append of unique-keyed rows (no merge join).
+
+    The DataX analogue is a plain ``insert`` writeMode load
+    (``WriterUtil.java:111-146``); keys must not collide with existing
+    live rows — use ``merge_into`` otherwise.
+    """
+    sid = table._require_meta()["current_schema_id"]
+    tschema = table.schema()
+    out = df
+    if LSN_COL not in out.columns:
+        out = out.withColumn(LSN_COL, F.lit(lsn).cast("bigint"))
+    if DELETED_COL not in out.columns:
+        out = out.withColumn(DELETED_COL, F.lit(False))
+    out = out.select(*[F.col(f.name).cast(f.type).alias(f.name) for f in tschema.fields])
+    entries = table.write_data_files(out, sid)
+    return table.commit(entries, set(), operation=operation)
+
+
+def merge_into(
+    table: LakeTable,
+    changes: DataFrame,
+    ts_col: str = "warc_ts",
+    lsn_col: str = "lsn",
+    op_col: str = OP_COL,
+    stream_id: str | None = None,
+    batch_id: int | None = None,
+    broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
+    dedup: bool = True,
+    summary_extra: dict | None = None,
+    new_schema=None,
+) -> dict:
+    """Apply a batch of change events to ``table``; returns the snapshot.
+
+    ``changes`` columns: key, op ('I'|'U'|'D'), ts_col, lsn_col, payload...
+    Schema evolution (``new_schema``) is resolved by the caller
+    (cdc.apply) so quarantine can intercept incompatible rows first.
+    """
+    key = table.key_col
+    nb = table.num_buckets
+
+    c = lww_dedup(changes, key, ts_col, lsn_col) if dedup else changes
+    c = c.withColumn("_cbucket", bucket_expr(key, nb))
+
+    # Lineage stats + touched buckets in ONE job over the deduped batch.
+    stats_rows = (
+        c.groupBy("_cbucket")
+        .agg(F.count("*").alias("n"), F.min(lsn_col).alias("lmin"), F.max(lsn_col).alias("lmax"))
+        .collect()
+    )
+    touched = {int(r["_cbucket"]) for r in stats_rows}
+    batch_rows = sum(int(r["n"]) for r in stats_rows)
+    lineage = {
+        int(r["_cbucket"]): {"rows": int(r["n"]), "lsn_min": int(r["lmin"]), "lsn_max": int(r["lmax"])}
+        for r in stats_rows
+    }
+
+    schema_id = (new_schema.schema_id if new_schema is not None
+                 else table._require_meta()["current_schema_id"])
+    tschema = new_schema if new_schema is not None else table.schema()
+    user_cols = [f.name for f in tschema.fields if f.name not in (LSN_COL, DELETED_COL)]
+
+    if batch_rows == 0:
+        return table.commit([], set(), operation="merge", stream_id=stream_id,
+                            batch_id=batch_id, summary_extra=summary_extra,
+                            new_schema=new_schema)
+
+    # align the change payload to the (possibly evolved) table user schema
+    tmap = {f.name: f for f in tschema.fields}
+    aligned_cols = []
+    for name in user_cols:
+        if name in c.columns:
+            aligned_cols.append(F.col(name).cast(tmap[name].type).alias(name))
+        else:
+            aligned_cols.append(F.lit(None).cast(tmap[name].type).alias(name))
+    c_aligned = c.select(
+        F.col(op_col).alias("_cop"),
+        F.col(ts_col).cast("timestamp").alias("_cts"),
+        F.col(lsn_col).cast("bigint").alias("_clsn"),
+        *aligned_cols,
+    )
+
+    use_broadcast = 0 < batch_rows <= broadcast_threshold_rows
+    c_side = F.broadcast(c_aligned) if use_broadcast else c_aligned
+
+    target = table.read(buckets=sorted(touched), include_deleted=True, include_system=True)
+    # target rows aligned to evolved schema too
+    t_aligned_cols = []
+    for f in tschema.fields:
+        if f.name in target.columns:
+            t_aligned_cols.append(F.col(f.name).cast(f.type).alias(f.name))
+        else:
+            t_aligned_cols.append(F.lit(None).cast(f.type).alias(f.name))
+    target = target.select(*t_aligned_cols)
+
+    t_pref = target.select(*[F.col(cn).alias(f"_t_{cn}") for cn in target.columns])
+    joined = t_pref.join(c_side, t_pref[f"_t_{key}"] == c_side[key], "left")
+
+    c_newer = F.col(key).isNotNull() & (
+        (F.col("_cts") > F.col(f"_t_{ts_col}"))
+        | ((F.col("_cts") == F.col(f"_t_{ts_col}")) & (F.col("_clsn") > F.col(f"_t_{LSN_COL}")))
+        | F.col(f"_t_{ts_col}").isNull()
+    )
+
+    def pick(name: str):
+        if name == LSN_COL:
+            win = F.col("_clsn")
+            lose = F.col(f"_t_{LSN_COL}")
+        elif name == DELETED_COL:
+            win = F.col("_cop") == F.lit("D")
+            lose = F.col(f"_t_{DELETED_COL}")
+        elif name == key:
+            return F.col(f"_t_{key}").alias(key)
+        elif name == ts_col:
+            win, lose = F.col("_cts"), F.col(f"_t_{ts_col}")
+        else:
+            win, lose = F.col(name), F.col(f"_t_{name}")
+        return F.when(c_newer, win).otherwise(lose).alias(name)
+
+    survivors = joined.select(*[pick(f.name) for f in tschema.fields])
+
+    # inserts: change keys absent from the touched-bucket target scan.
+    # anti-join shuffles only the key column of the target — narrow.
+    t_keys = target.select(key)
+    inserts = (
+        c_aligned.join(t_keys, on=key, how="left_anti")
+        .select(
+            *[
+                (
+                    F.col("_clsn").alias(LSN_COL)
+                    if f.name == LSN_COL
+                    else (F.col("_cop") == F.lit("D")).alias(DELETED_COL)
+                    if f.name == DELETED_COL
+                    else F.col(f.name)
+                )
+                for f in tschema.fields
+            ]
+        )
+        # a D for a key we've never seen still writes a tombstone so that
+        # an out-of-order older I/U arriving later stays dead
+    )
+
+    final = survivors.unionByName(inserts)
+
+    entries = table.write_data_files(final, schema_id)
+    extra = {"lineage": lineage, "batch_rows": batch_rows,
+             "merge_strategy": "broadcast" if use_broadcast else "shuffle"}
+    extra.update(summary_extra or {})
+    return table.commit(
+        entries,
+        replaced_buckets=touched,
+        operation="merge",
+        stream_id=stream_id,
+        batch_id=batch_id,
+        summary_extra=extra,
+        new_schema=new_schema,
+    )

@@ -1,0 +1,407 @@
+"""LakeTable — snapshot-versioned parquet table with atomic commits.
+
+The sink side of the CDC engine. DataX's writers commit via sink-native
+mechanisms (RDBMS transactions ``CommonRdbmsWriter.java:348-373``, HDFS
+temp-dir + move ``hdfswriter/.../HdfsWriter.java:159-185``, StarRocks/Doris
+label-fenced stream loads). This table format unifies those into one
+Iceberg-style contract implemented on plain parquet + a JSON metadata log:
+
+layout::
+
+    <root>/metadata/v<N>.json        # full table metadata, atomic rename
+    <root>/metadata/version-hint.text
+    <root>/metadata/manifest-<snapshot>.json   # data-file list + stats
+    <root>/data/w-<writeid>/_bucket=<k>/part-*.parquet
+
+Guarantees:
+- **atomic commit**: metadata written to temp then ``os.rename`` (atomic on
+  POSIX); readers resolve the current version via version-hint with a
+  fall-back directory scan.
+- **bucket partitioning**: rows are hash-bucketed by the merge key with
+  ``pmod(xxhash64(key), num_buckets)`` — deterministic across runs and
+  sessions; MERGE rewrites only touched buckets (copy-on-write), so merge
+  cost scales with the change batch, not table size. At 100 TB you size
+  ``num_buckets`` so a bucket ≈ 1–4 GB (e.g. 65536); locally tests use 8.
+- **exactly-once**: every commit may carry ``(stream_id, batch_id)``; the
+  metadata keeps a per-stream high-water mark, and re-commits of an
+  already-applied batch are skipped — the stream-load *label* pattern
+  (``StarRocksStreamLoadVisitor.java:160-185``,
+  ``doriswriter/.../DorisStreamLoadObserver.java:81-101``).
+- **schema evolution**: metadata stores versioned schemas; old data files
+  are read with their own schema and aligned (missing columns → NULL,
+  widened columns → cast) at scan time.
+- **tombstones**: deletes persist ``_deleted=true`` rows carrying their
+  LWW ordering key so late-arriving stale updates cannot resurrect a
+  deleted key across batches; ``expire_tombstones`` compacts them away.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from datax_spark.lake.schema import Field, TableSchema, can_widen
+
+# engine-managed columns stored in every data file
+LSN_COL = "_lsn"
+DELETED_COL = "_deleted"
+BUCKET_COL = "_bucket"
+SYSTEM_COLS = [LSN_COL, DELETED_COL]
+
+FORMAT_VERSION = 1
+
+
+class CommitConflict(Exception):
+    """Another writer committed since this table handle loaded metadata."""
+
+
+def bucket_expr(key_col: str, num_buckets: int):
+    """Deterministic bucket id for a key — stable across sessions/runs."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def _parquet_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+class LakeTable:
+    """Handle on a lake table. Cheap to construct; metadata loaded lazily."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta: dict | None = None
+        self._loaded_version: int = -1
+
+    # ---------------------------------------------------------------- paths
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "metadata")
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self._meta_dir, f"v{v}.json")
+
+    # ------------------------------------------------------------- lifecycle
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_col: str,
+        num_buckets: int = 8,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        """Create an empty table. ``schema`` is the *user* schema; system
+        columns (_lsn, _deleted) are appended automatically."""
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=False)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        user = TableSchema.from_spark(schema, schema_id=0)
+        nid = user.max_field_id() + 1
+        user.fields.append(Field(nid, LSN_COL, "bigint", True))
+        user.fields.append(Field(nid + 1, DELETED_COL, "boolean", False))
+        meta = {
+            "format_version": FORMAT_VERSION,
+            "table_uuid": uuid.uuid4().hex,
+            "key_col": key_col,
+            "num_buckets": num_buckets,
+            "current_schema_id": 0,
+            "schemas": [user.to_json()],
+            "current_snapshot_id": 0,
+            "snapshots": [],
+            "batch_fence": {},  # stream_id -> last applied batch_id
+            "properties": properties or {},
+        }
+        _atomic_write_json(os.path.join(root, "metadata", "v1.json"), meta)
+        _atomic_write_json(os.path.join(root, "metadata", "version-hint.text"), 1)
+        t = LakeTable(spark, root)
+        t.load()
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.isdir(os.path.join(root, "metadata"))
+
+    def load(self) -> "LakeTable":
+        hint = os.path.join(self._meta_dir, "version-hint.text")
+        v = None
+        if os.path.exists(hint):
+            try:
+                with open(hint) as f:
+                    v = int(json.load(f))
+            except (ValueError, json.JSONDecodeError):
+                v = None
+        if v is None or not os.path.exists(self._version_path(v)):
+            versions = [
+                int(os.path.basename(p)[1:-5])
+                for p in glob.glob(os.path.join(self._meta_dir, "v*.json"))
+            ]
+            if not versions:
+                raise FileNotFoundError(f"no table at {self.root}")
+            v = max(versions)
+        with open(self._version_path(v)) as f:
+            self.meta = json.load(f)
+        self._loaded_version = v
+        return self
+
+    def _require_meta(self) -> dict:
+        if self.meta is None:
+            self.load()
+        return self.meta  # type: ignore[return-value]
+
+    # ------------------------------------------------------------- accessors
+    @property
+    def key_col(self) -> str:
+        return self._require_meta()["key_col"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self._require_meta()["num_buckets"]
+
+    def schema(self, schema_id: int | None = None) -> TableSchema:
+        m = self._require_meta()
+        sid = m["current_schema_id"] if schema_id is None else schema_id
+        for s in m["schemas"]:
+            if s["schema_id"] == sid:
+                return TableSchema.from_json(s)
+        raise KeyError(f"schema {sid} not found")
+
+    def user_schema(self) -> T.StructType:
+        return T.StructType(
+            [f.spark_field() for f in self.schema().fields if f.name not in SYSTEM_COLS]
+        )
+
+    def current_snapshot(self) -> dict | None:
+        m = self._require_meta()
+        sid = m["current_snapshot_id"]
+        for s in m["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return s
+        return None
+
+    def snapshots(self) -> list[dict]:
+        return list(self._require_meta()["snapshots"])
+
+    def manifest(self, snapshot: dict | None = None) -> list[dict]:
+        snap = snapshot if snapshot is not None else self.current_snapshot()
+        if snap is None:
+            return []
+        with open(os.path.join(self.root, snap["manifest"])) as f:
+            return json.load(f)
+
+    def last_batch_id(self, stream_id: str) -> int:
+        """Batch-id high-water mark for exactly-once fencing."""
+        return int(self._require_meta()["batch_fence"].get(stream_id, -1))
+
+    # ---------------------------------------------------------------- read
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+        include_system: bool = False,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Scan the table (optionally a bucket subset / time-travel snapshot).
+
+        Files are grouped by the schema they were written with, each group
+        scanned with an explicit schema (full pushdown / pruning applies),
+        aligned to the current schema (missing → NULL, widened → cast), and
+        unioned. Bucket pruning is manifest-driven file skipping — the scan
+        never opens untouched buckets.
+        """
+        m = self._require_meta()
+        snap = None
+        if snapshot_id is not None:
+            snap = next(s for s in m["snapshots"] if s["snapshot_id"] == snapshot_id)
+        entries = self.manifest(snap)
+        if buckets is not None:
+            bset = set(buckets)
+            entries = [e for e in entries if e["bucket"] in bset]
+        cur = self.schema()
+        cur_names = cur.field_names()
+        if not entries:
+            df = self.spark.createDataFrame([], cur.spark_schema())
+        else:
+            by_sid: dict[int, list[str]] = {}
+            for e in entries:
+                by_sid.setdefault(e["schema_id"], []).append(os.path.join(self.root, e["path"]))
+            parts = []
+            for sid, paths in sorted(by_sid.items()):
+                old = self.schema(sid)
+                raw = self.spark.read.schema(old.spark_schema()).parquet(*paths)
+                old_names = set(old.field_names())
+                cols = []
+                for fdef in cur.fields:
+                    if fdef.name in old_names:
+                        cols.append(F.col(fdef.name).cast(fdef.type).alias(fdef.name))
+                    else:
+                        cols.append(F.lit(None).cast(fdef.type).alias(fdef.name))
+                parts.append(raw.select(*cols))
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        if not include_deleted:
+            df = df.filter(~F.col(DELETED_COL))
+        if not include_system:
+            df = df.select([c for c in cur_names if c not in SYSTEM_COLS])
+        return df
+
+    def row_count(self) -> int:
+        snap = self.current_snapshot()
+        return 0 if snap is None else int(snap["summary"].get("live_rows", 0))
+
+    # --------------------------------------------------------------- write
+    def write_data_files(self, df: DataFrame, schema_id: int) -> list[dict]:
+        """Write a dataframe as bucket-partitioned data files; return manifest
+        entries. ``df`` must already carry all columns of ``schema_id``'s
+        schema (system columns included).
+
+        ``repartition(BUCKET_COL)`` before ``partitionBy`` keeps each bucket's
+        rows in one task → one file per bucket per write (no small-file
+        explosion); dynamic partition write splits multi-bucket tasks
+        per-directory. At cluster scale the same pattern holds; add
+        ``maxRecordsPerFile`` if buckets outgrow a single file.
+        """
+        ts = self.schema(schema_id)
+        write_id = f"w-{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self._data_dir, write_id)
+        out = (
+            df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.num_buckets))
+            .repartition(F.col(BUCKET_COL))
+            .select(*(ts.field_names() + [BUCKET_COL]))
+        )
+        out.write.partitionBy(BUCKET_COL).parquet(out_dir)
+        entries: list[dict] = []
+        for bdir in sorted(glob.glob(os.path.join(out_dir, f"{BUCKET_COL}=*"))):
+            bucket = int(os.path.basename(bdir).split("=", 1)[1])
+            for p in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+                entries.append(
+                    {
+                        "path": os.path.relpath(p, self.root),
+                        "bucket": bucket,
+                        "records": _parquet_row_count(p),
+                        "schema_id": schema_id,
+                    }
+                )
+        return entries
+
+    def commit(
+        self,
+        new_entries: list[dict],
+        replaced_buckets: set[int] | None = None,
+        operation: str = "merge",
+        stream_id: str | None = None,
+        batch_id: int | None = None,
+        summary_extra: dict | None = None,
+        new_schema: TableSchema | None = None,
+    ) -> dict:
+        """Atomically commit a snapshot.
+
+        The new manifest = previous manifest minus files in
+        ``replaced_buckets`` plus ``new_entries`` (copy-on-write). A commit
+        may simultaneously install an evolved schema. Optimistic conflict
+        check mirrors single-writer streaming semantics.
+        """
+        m = self._require_meta()
+        # optimistic concurrency: reload hint and compare
+        hint = os.path.join(self._meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                disk_v = int(json.load(f))
+            if disk_v != self._loaded_version:
+                raise CommitConflict(
+                    f"table advanced to v{disk_v} (loaded v{self._loaded_version})"
+                )
+        prev = self.manifest()
+        replaced = replaced_buckets or set()
+        manifest = [e for e in prev if e["bucket"] not in replaced] + new_entries
+        snap_id = m["current_snapshot_id"] + 1
+        manifest_rel = os.path.join("metadata", f"manifest-{snap_id}.json")
+        _atomic_write_json(os.path.join(self.root, manifest_rel), manifest)
+        live = sum(e["records"] for e in manifest)
+        summary = {
+            "operation": operation,
+            "added_files": len(new_entries),
+            "replaced_buckets": sorted(replaced),
+            "total_files": len(manifest),
+            "live_rows": live,
+        }
+        if batch_id is not None:
+            summary["batch_id"] = batch_id
+            summary["stream_id"] = stream_id or "default"
+        summary.update(summary_extra or {})
+        snap = {
+            "snapshot_id": snap_id,
+            "parent_id": m["current_snapshot_id"],
+            "timestamp_ms": int(time.time() * 1000),
+            "schema_id": (new_schema.schema_id if new_schema else m["current_schema_id"]),
+            "manifest": manifest_rel,
+            "summary": summary,
+        }
+        new_meta = dict(m)
+        new_meta["snapshots"] = m["snapshots"] + [snap]
+        new_meta["current_snapshot_id"] = snap_id
+        if new_schema is not None:
+            new_meta["schemas"] = m["schemas"] + [new_schema.to_json()]
+            new_meta["current_schema_id"] = new_schema.schema_id
+        if batch_id is not None:
+            fence = dict(m["batch_fence"])
+            fence[stream_id or "default"] = int(batch_id)
+            new_meta["batch_fence"] = fence
+        v = self._loaded_version + 1
+        _atomic_write_json(self._version_path(v), new_meta)
+        _atomic_write_json(hint, v)
+        self.meta = new_meta
+        self._loaded_version = v
+        return snap
+
+    def evolve_schema(self, incoming: T.StructType) -> tuple[TableSchema, list[str]]:
+        """Compute (without committing) the union-evolved schema for a batch."""
+        return self.schema().evolve_to_union(incoming)
+
+    # ---------------------------------------------------------- maintenance
+    def expire_tombstones(self) -> dict:
+        """Compact: rewrite all buckets dropping tombstone rows.
+
+        Safe once no change events older than the tombstones can still
+        arrive (retention is the operator's call, as with Iceberg
+        ``expire_snapshots`` + delete-file compaction).
+        """
+        sid = self._require_meta()["current_schema_id"]
+        df = self.read(include_deleted=False, include_system=True)
+        entries = self.write_data_files(df, sid)
+        return self.commit(
+            entries,
+            replaced_buckets=set(range(self.num_buckets)),
+            operation="expire_tombstones",
+        )
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the current snapshot."""
+        live = {e["path"] for e in self.manifest()}
+        removed = 0
+        for p in glob.glob(os.path.join(self._data_dir, "w-*", "*", "*.parquet")):
+            rel = os.path.relpath(p, self.root)
+            if rel not in live:
+                os.remove(p)
+                removed += 1
+        return removed

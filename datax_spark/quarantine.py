@@ -1,0 +1,82 @@
+"""Dirty-record quarantine + error limits.
+
+Re-expresses DataX's out-of-band dirty-record channel
+(``common/.../plugin/TaskPluginCollector.java:1-57``, stdout impl
+``core/.../plugin/task/StdoutPluginCollector.java``) and the job-failing
+thresholds of ``ErrorRecordChecker``
+(``core/.../util/ErrorRecordChecker.java:18-81``: fail if dirty count >
+``errorLimit.record`` or dirty ratio > ``errorLimit.percentage``; the
+record limit takes precedence) as a DataFrame split + dead-letter parquet
+sink. Validation is declarative (a Column predicate), evaluated JVM-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+VALID_OPS = ("I", "U", "D")
+
+
+class ErrorLimitExceeded(Exception):
+    pass
+
+
+@dataclass
+class ErrorLimits:
+    """record: absolute max dirty rows (None=off); percentage: max dirty
+    ratio 0..1 (None=off). Record limit checked first, like the reference."""
+
+    record: int | None = None
+    percentage: float | None = None
+
+    def check(self, dirty: int, total: int) -> None:
+        if self.record is not None and dirty > self.record:
+            raise ErrorLimitExceeded(
+                f"dirty record count {dirty} > errorLimit.record {self.record}"
+            )
+        if self.percentage is not None and total > 0 and (dirty / total) > self.percentage:
+            raise ErrorLimitExceeded(
+                f"dirty ratio {dirty / total:.4f} > errorLimit.percentage {self.percentage}"
+            )
+
+
+def dirty_reason(key_col: str, op_col: str, lsn_col: str):
+    """NULL ⇒ clean; else a reason string. Extend per-source as needed."""
+    return (
+        F.when(F.col(key_col).isNull(), F.lit("null key"))
+        .when(F.col(lsn_col).isNull(), F.lit("null lsn"))
+        .when(~F.col(op_col).isin(*VALID_OPS), F.lit("invalid op"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def split_dirty(
+    batch: DataFrame,
+    key_col: str,
+    op_col: str,
+    lsn_col: str,
+    quarantine_dir: str | None = None,
+    limits: ErrorLimits | None = None,
+    batch_id: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Split a batch into (clean_df, dirty_count); write dirty rows (with
+    reason) to the dead-letter dir. Cheap path: one aggregate to count,
+    and the dirty side is only materialized when rows exist."""
+    reason = dirty_reason(key_col, op_col, lsn_col)
+    tagged = batch.withColumn("_dirty_reason", reason)
+    dirty_count = tagged.filter(F.col("_dirty_reason").isNotNull()).count()
+    if dirty_count:
+        if quarantine_dir:
+            (
+                tagged.filter(F.col("_dirty_reason").isNotNull())
+                .withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
+                .write.mode("append")
+                .parquet(quarantine_dir)
+            )
+        if limits is not None:
+            total = batch.count()
+            limits.check(dirty_count, total)
+    clean = tagged.filter(F.col("_dirty_reason").isNull()).drop("_dirty_reason")
+    return clean, dirty_count

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Replaces DataX's Engine bootstrap (reference:
+``core/src/main/java/com/alibaba/datax/core/Engine.java:40-88`` — bind
+ColumnCast defaults, pick container, start trace). Here the analogous
+job-wide defaults are session confs: UTC session timezone (DataX defaults
+GMT+8 via ``core/src/main/conf/core.json`` ``common.column.timeZone``; we
+standardize on UTC and make offsets explicit in tests), Arrow-enabled
+pandas UDFs, and AQE for runtime skew handling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "datax_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Parallelism maps DataX's channel count
+    (``core/.../job/JobContainer.java:416-486`` adjustChannelNumber) onto
+    ``master=local[N]`` threads + ``spark.sql.shuffle.partitions``. On a
+    real cluster the same code runs unchanged under ``spark-submit
+    --py-files``; only master/memory confs differ.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    nparts = shuffle_partitions or int(
+        os.environ.get("DATAX_SPARK_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nparts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("DATAX_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Stop the active session (used by the two-parallelism bench)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
