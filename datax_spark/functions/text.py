@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path functions are built-in ``pyspark.sql.functions`` expressions
+(JVM-side, whole-stage-codegen'd) so they run at scan speed over 100 TB;
+nothing here drops to Python per row. Each returns a Column, composable
+into any projection.
+
+- token_count: whitespace tokenization (split on \\s+)
+- word-punct/BPE-ish token count: regex token classes
+- quality_score: length / alpha-ratio / stopword-ratio composite
+- lang_id: stopword-hit heuristic over a small per-language lexicon
+- fingerprint: deterministic 64-bit content fingerprint (xxhash64 over
+  normalized text) + shingle-based rolling fingerprints for near-dup use
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# tiny per-language stopword lexicons (deterministic, public knowledge)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "una", "del", "para", "por"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "他", "这", "们"],
+}
+
+
+def normalize_ws(col) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def token_count(col) -> Column:
+    """Whitespace token count; empty/null-safe (0 for empty)."""
+    t = normalize_ws(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("bigint")
+
+
+def wordpunct_token_count(col) -> Column:
+    """BPE-ish pre-tokenizer count: word pieces OR single non-space symbols
+    (the GPT-2-style pre-split classes, regex-only)."""
+    toks = F.regexp_extract_all(col, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
+    return F.size(toks).cast("bigint")
+
+
+def alpha_ratio(col) -> Column:
+    no_alpha = F.regexp_replace(col, r"[A-Za-z]", "")
+    return F.when(F.length(col) > 0,
+                  (F.length(col) - F.length(no_alpha)) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col) -> Column:
+    no_punct = F.regexp_replace(col, r"[.,;:!?'\"()\[\]{}\-]", "")
+    return F.when(F.length(col) > 0,
+                  (F.length(col) - F.length(no_punct)) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    words = F.split(F.lower(normalize_ws(col)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.array_intersect(words, sw))  # distinct-hit variant
+    # per-token hit ratio via filter (keeps duplicates)
+    dup_hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    return F.when(F.size(words) > 0, dup_hits / F.size(words)).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Composite document-quality score in [0,1]: favors mid-length docs
+    with high alpha ratio, some stopwords, low punctuation excess.
+    Deterministic arithmetic only."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * alpha_ratio(col)
+        + F.lit(0.2) * F.least(stopword_ratio(col) * 4, F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))),
+        4,
+    )
+
+
+def lang_id(col) -> Column:
+    """Stopword-hit language id over the fixed lexicons; ties break by
+    fixed language order (en, de, fr, es, zh); no hits → 'und'."""
+    words = F.split(F.lower(normalize_ws(col)), r"\s+")
+    scores = []
+    for lg in ["en", "de", "fr", "es", "zh"]:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
+        scores.append(
+            F.struct(
+                F.size(F.filter(words, lambda w, s=sw: F.array_contains(s, w))).alias("hits"),
+                F.lit({"en": 4, "de": 3, "fr": 2, "es": 1, "zh": 0}[lg]).alias("prio"),
+                F.lit(lg).alias("lang"),
+            )
+        )
+    best = F.greatest(*scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint64(col) -> Column:
+    """Deterministic 64-bit document fingerprint over normalized text."""
+    return F.xxhash64(F.lower(normalize_ws(col)))
+
+
+def shingles(col, k: int = 3) -> Column:
+    """Array of k-word shingle strings (for Jaccard / MinHash)."""
+    words = F.split(F.lower(normalize_ws(col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    ).otherwise(F.array(F.concat_ws(" ", words)))

@@ -1,0 +1,152 @@
+"""DataX transformer parity library (the "T" surface) + registry.
+
+Re-expresses the five built-in dx_* row transformers and the chain
+executor semantics as DataFrame column operations (declarative — Catalyst
+folds the whole chain into one projection, vs the reference's per-record
+Java loop on the reader thread,
+``core/.../exchanger/TransformerExchanger.java:53-127``).
+
+Parity notes (documented behaviors, reference file:line):
+- dx_substr (``core/.../transformer/SubstrTransformer.java:21-64``):
+  null passes through; clamps to end of string.
+- dx_pad (``PadTransformer.java:21-89``): 'l'/'r' pad to target length;
+  longer input truncated from the LEFT-kept prefix; null treated as "".
+- dx_replace (``ReplaceTransformer.java:21-65``): splice-replace the range
+  [start, start+length) with replaceStr.
+- dx_filter (``FilterTransformer.java:20-311``): match ⇒ DROP the row
+  (inverted polarity!); 'like' is Java full-String#matches regex, mapped
+  to rlike anchored ^…$.
+- dx_digest (``DigestTransformer.java:32-85``): md5/sha1 hex of the column
+  as string, null → digest of "", with upper/lower folding.
+
+A chain is a list of (name, args) applied in order; a filter stops
+subsequent transforms for dropped rows by construction (rows are gone).
+Custom transformers register via ``register_transformer`` — the SPI
+analogue of ``TransformerRegistry.java:67-105`` jar loading.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dx_substr(col, start: int, length: int) -> Column:
+    """substring [start, start+length), clamped to end; null → null."""
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.substring(col.cast("string"), start + 1, length)
+    )
+
+
+def dx_pad(col, side: str, target_len: int, pad_str: str) -> Column:
+    """lpad/rpad to target_len; longer values truncated; null → ''. """
+    s = F.coalesce(col.cast("string"), F.lit(""))
+    if side.lower() == "l":
+        return F.lpad(s, target_len, pad_str)
+    return F.rpad(s, target_len, pad_str)
+
+
+def dx_replace(col, start: int, length: int, replace_str: str) -> Column:
+    """splice-replace chars [start, start+length) with replace_str."""
+    s = col.cast("string")
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.substring(s, 1, start),
+            F.lit(replace_str),
+            F.when(F.length(s) > start + length,
+                   F.substring(s, start + length + 1, 2**31 - 1 - (start + length))
+                   ).otherwise(F.lit("")),
+        )
+    )
+
+
+_FILTER_OPS = {">", "<", "=", "!=", ">=", "<="}
+
+
+def dx_filter_cond(col, op: str, value) -> Column:
+    """The MATCH condition (a matching row is DROPPED by the chain).
+
+    Numeric compare when value parses numeric, string compare otherwise;
+    'like' is a full-match regex. Null semantics per the reference:
+    null matches '=' against the literal "null", never matches like/>/<.
+    """
+    if op == "like":
+        return col.cast("string").rlike(f"^(?:{value})$")
+    if op == "not like":
+        return ~col.cast("string").rlike(f"^(?:{value})$") & col.isNotNull()
+    if op not in _FILTER_OPS:
+        raise ValueError(f"dx_filter: unknown op {op!r}")
+    try:
+        num = float(value)
+        target = col.cast("double")
+        lit = F.lit(num)
+    except (TypeError, ValueError):
+        target = col.cast("string")
+        lit = F.lit(value)
+    if op == "=":
+        base = target == lit
+        if str(value) == "null":
+            return col.isNull() | base
+        return base
+    return {
+        ">": target > lit,
+        "<": target < lit,
+        "!=": target != lit,
+        ">=": target >= lit,
+        "<=": target <= lit,
+    }[op]
+
+
+def dx_filter(df: DataFrame, column: str, op: str, value) -> DataFrame:
+    """Apply the filter transformer: matching rows are dropped."""
+    cond = dx_filter_cond(F.col(column), op, value)
+    return df.filter(~F.coalesce(cond, F.lit(False)))
+
+
+def dx_digest(col, algo: str = "md5", case: str = "toLowerCase") -> Column:
+    s = F.coalesce(col.cast("string"), F.lit(""))
+    if algo.lower() == "md5":
+        d = F.md5(F.encode(s, "UTF-8"))
+    elif algo.lower() == "sha1":
+        d = F.sha1(F.encode(s, "UTF-8"))
+    else:
+        raise ValueError(f"dx_digest: unknown algo {algo!r}")
+    return F.upper(d) if case == "toUpperCase" else F.lower(d)
+
+
+# ---------------------------------------------------------------- registry
+# name -> callable(df, column, *args) -> DataFrame   (filter-style)
+#      or callable(col, *args) -> Column             (projection-style)
+_COLUMN_TRANSFORMERS: dict[str, Callable] = {
+    "dx_substr": dx_substr,
+    "dx_pad": dx_pad,
+    "dx_replace": dx_replace,
+    "dx_digest": dx_digest,
+}
+_ROW_TRANSFORMERS: dict[str, Callable] = {"dx_filter": dx_filter}
+
+
+def register_transformer(name: str, fn: Callable, row_level: bool = False) -> None:
+    """SPI registration (``TransformerRegistry.java:149-165`` reserves the
+    dx_ namespace for builtins — enforced here too)."""
+    if name.startswith("dx_") and name in (_COLUMN_TRANSFORMERS | _ROW_TRANSFORMERS):
+        raise ValueError(f"builtin transformer name reserved: {name}")
+    (_ROW_TRANSFORMERS if row_level else _COLUMN_TRANSFORMERS)[name] = fn
+
+
+def apply_chain(df: DataFrame, chain: list[dict]) -> DataFrame:
+    """Apply a DataX-style transformer chain:
+    ``[{"name": "dx_substr", "column": "c0", "paras": [0, 5]}, ...]``
+    (job-config shape of ``job.content[].transformer[]``). Catalyst
+    collapses consecutive projections into a single stage."""
+    for step in chain:
+        name, colname = step["name"], step["column"]
+        paras = step.get("paras", [])
+        if name in _ROW_TRANSFORMERS:
+            df = _ROW_TRANSFORMERS[name](df, colname, *paras)
+        elif name in _COLUMN_TRANSFORMERS:
+            df = df.withColumn(colname, _COLUMN_TRANSFORMERS[name](F.col(colname), *paras))
+        else:
+            raise KeyError(f"unknown transformer {name!r}")
+    return df

@@ -76,7 +76,6 @@ def bulk_load(
     (``WriterUtil.java:111-146``); keys must not collide with existing
     live rows — use ``merge_into`` otherwise.
     """
-    sid = table._require_meta()["current_schema_id"]
     tschema = table.schema()
     out = df
     if LSN_COL not in out.columns:
@@ -84,7 +83,7 @@ def bulk_load(
     if DELETED_COL not in out.columns:
         out = out.withColumn(DELETED_COL, F.lit(False))
     out = out.select(*[F.col(f.name).cast(f.type).alias(f.name) for f in tschema.fields])
-    entries = table.write_data_files(out, sid)
+    entries = table.write_data_files(out, tschema)
     return table.commit(entries, set(), operation=operation)
 
 
@@ -126,8 +125,6 @@ def merge_into(
         for r in stats_rows
     }
 
-    schema_id = (new_schema.schema_id if new_schema is not None
-                 else table._require_meta()["current_schema_id"])
     tschema = new_schema if new_schema is not None else table.schema()
     user_cols = [f.name for f in tschema.fields if f.name not in (LSN_COL, DELETED_COL)]
 
@@ -213,7 +210,7 @@ def merge_into(
 
     final = survivors.unionByName(inserts)
 
-    entries = table.write_data_files(final, schema_id)
+    entries = table.write_data_files(final, tschema)
     extra = {"lineage": lineage, "batch_rows": batch_rows,
              "merge_strategy": "broadcast" if use_broadcast else "shuffle"}
     extra.update(summary_extra or {})

@@ -270,10 +270,11 @@ class LakeTable:
         return 0 if snap is None else int(snap["summary"].get("live_rows", 0))
 
     # --------------------------------------------------------------- write
-    def write_data_files(self, df: DataFrame, schema_id: int) -> list[dict]:
+    def write_data_files(self, df: DataFrame, schema) -> list[dict]:
         """Write a dataframe as bucket-partitioned data files; return manifest
-        entries. ``df`` must already carry all columns of ``schema_id``'s
-        schema (system columns included).
+        entries. ``schema`` is the TableSchema the files are written under
+        (may be a not-yet-committed evolved schema); ``df`` must already
+        carry all of its columns (system columns included).
 
         ``repartition(BUCKET_COL)`` before ``partitionBy`` keeps each bucket's
         rows in one task → one file per bucket per write (no small-file
@@ -281,7 +282,7 @@ class LakeTable:
         per-directory. At cluster scale the same pattern holds; add
         ``maxRecordsPerFile`` if buckets outgrow a single file.
         """
-        ts = self.schema(schema_id)
+        ts = schema
         write_id = f"w-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self._data_dir, write_id)
         out = (
@@ -299,7 +300,7 @@ class LakeTable:
                         "path": os.path.relpath(p, self.root),
                         "bucket": bucket,
                         "records": _parquet_row_count(p),
-                        "schema_id": schema_id,
+                        "schema_id": ts.schema_id,
                     }
                 )
         return entries
@@ -386,9 +387,8 @@ class LakeTable:
         arrive (retention is the operator's call, as with Iceberg
         ``expire_snapshots`` + delete-file compaction).
         """
-        sid = self._require_meta()["current_schema_id"]
         df = self.read(include_deleted=False, include_system=True)
-        entries = self.write_data_files(df, sid)
+        entries = self.write_data_files(df, self.schema())
         return self.commit(
             entries,
             replaced_buckets=set(range(self.num_buckets)),

@@ -1,0 +1,191 @@
+"""Deduplication operators for web-scale corpora.
+
+DataX itself has no dedup (it delegates to sink REPLACE/ON-DUP-KEY,
+SURVEY §2.8); these are the training-data-pipeline operators the engine
+adds as first-class citizens. All are expressed as DataFrame plans —
+shuffles only on the grouping keys, map-side combines everywhere:
+
+- exact_dedup: hash groupBy on a content digest — one shuffle of
+  (digest, id), winner = min id (deterministic).
+- minhash_lsh_dedup: word-shingles → K minhashes → B bands → candidate
+  pairs via band-bucket self-join (the shuffle is on (band, signature),
+  so only colliding docs meet) → verified Jaccard ≥ threshold →
+  connected-to-representative collapse (min doc id per cluster seed).
+- simhash64: 64-bit SimHash over token hashes; near-dups = equal
+  fingerprints (or banded Hamming buckets for radius>0).
+- ngram_jaccard_pairs: exact pairwise Jaccard over k-shingles for
+  bounded candidate sets (the verification oracle for the LSH path).
+- embedding near-dup lives in operators/similarity.py (cosine ≥ t).
+
+At 100 TB: every self-join here is band/bucket-partitioned so candidate
+generation never does a cartesian; AQE handles band skew (stop-word-only
+docs collapsing into one band bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from datax_spark.functions.text import normalize_ws, shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per exact normalized-text duplicate class."""
+    digest = F.md5(F.encode(F.lower(normalize_ws(F.col(text_col))), "UTF-8"))
+    return (
+        df.withColumn("_digest", digest)
+        .groupBy("_digest")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .drop("_digest")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k_shingle: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """(id, array<minhash>) — each minhash_i = min over shingles of
+    xxhash64(shingle, i). Pure JVM expressions; one pass, no shuffle."""
+    sh = shingles(F.col(text_col), k_shingle)
+    mins = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), mins.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) with estimated Jaccard.
+
+    rows_per_band = num_hashes // bands; docs sharing any band signature
+    become candidates; estimate = fraction of matching minhashes. The
+    band join shuffles only (band_idx, band_sig) keys.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                                                   for r in range(rows)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_sig")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "jaccard_est",
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(num_hashes),
+    )
+    return est.filter(F.col("jaccard_est") >= jaccard_threshold).select("id_a", "id_b", "jaccard_est")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates: each doc maps to min(id) among its near-dup
+    neighbors (single-hop representative — the standard web-dedup
+    approximation; full connected components would iterate)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
+    rep = (
+        pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("rep"))
+        .groupBy("id")
+        .agg(F.min("rep").alias("rep"))
+    )
+    return (
+        df.join(rep, df[id_col] == rep["id"], "left_anti")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct k-shingles via shingle-inverted
+    index self-join: |A∩B| from co-occurring shingles, |A∪B| = |A|+|B|−∩.
+    Shuffle key = shingle (inverted-index join), never a cartesian."""
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"))
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
+    a = ex.select(F.col("id").alias("id_a"), "sh")
+    b = ex.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: sign-sum of token-hash bits, JVM-side only.
+
+    For each bit i: +1 if bit set else -1, summed over tokens; bit in the
+    fingerprint = sum > 0. Uses an aggregate over exploded tokens — one
+    shuffle on id with map-side partial sums.
+    """
+    words = F.split(F.lower(normalize_ws(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+    tok = tok.withColumn("h", F.xxhash64("w"))
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(63)  # bit 63 = sign bit; skip to stay in positive long
+        ]
+    )
+    fp = bit_sums.select(
+        "id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")) for i in range(63)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return fp
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of docs with identical simhash (Hamming radius 0)."""
+    fp = simhash64(df, text_col, id_col)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )

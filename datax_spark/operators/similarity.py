@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, and an LSH-bucketed
+(random-hyperplane signature) variant as the 100 TB scale path. Dot
+products run JVM-side via ``F.zip_with`` + ``F.aggregate`` — no Python in
+the inner loop; at very high dims swap in a pandas_udf with numpy matmul
+per Arrow batch (provided as ``cosine_topk_pandas``).
+
+Scale notes: brute force is O(Q·N) — fine when the query side is small
+and broadcast; the LSH path buckets both sides by signature so each
+bucket joins only its own candidates (shuffle key = signature), the
+standard ANN trade (recall < 1.0, measured by ``lsh_recall``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine. The query side is
+    broadcast (small); ranking = window row_number per query."""
+    q = F.broadcast(queries.select(F.col(qid_col), F.col(qvec_col)))
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
+        qid_col,
+        id_col,
+        F.col(vec_col).alias("_v"),
+        F.col(qvec_col).alias("_q"),
+    ).withColumn("cosine", cosine(F.col("_v").cast("array<double>"), F.col("_q").cast("array<double>")))
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_to))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
+def hyperplane_signature(vec_col, dim: int, num_planes: int = 16, seed: int = 42):
+    """Random-hyperplane LSH signature as a bigint bitmask.
+
+    Plane p's normal component for dim d is a deterministic ±1 derived
+    from xxhash64(seed, p, d) — no stored model, identical on every
+    executor. sign(v·r_p) sets bit p.
+    """
+    def _signed(pp):
+        return lambda x, d: F.when(
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(pp), d), F.lit(2)) == 0, x
+        ).otherwise(-x)
+
+    bits = []
+    for p in range(num_planes):
+        comp = F.aggregate(
+            F.zip_with(vec_col, F.sequence(F.lit(0), F.lit(dim - 1)), _signed(p)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(comp > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    return sum(bits[1:], bits[0])
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """ANN top-k: candidates share an LSH bucket (exact signature match,
+    plus multi-probe within Hamming distance 1 when probe_hamming=1),
+    re-ranked by exact cosine within bucket."""
+    cvec = F.col(vec_col).cast("array<double>")
+    qvec = F.col(qvec_col).cast("array<double>")
+    c = corpus.select(id_col, vec_col).withColumn("sig", hyperplane_signature(cvec, dim, num_planes))
+    probes = [F.col("sig")] + (
+        [F.col("sig").bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(num_planes)]
+        if probe_hamming >= 1
+        else []
+    )
+    q = (
+        queries.select(qid_col, qvec_col)
+        .withColumn("sig", hyperplane_signature(qvec, dim, num_planes))
+        .select(qid_col, qvec_col, F.explode(F.array(*probes)).alias("sig"))
+    )
+    cand = c.join(F.broadcast(q), "sig").withColumn(
+        "cosine", F.round(cosine(cvec, qvec), 4)
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed self-join."""
+    v = F.col(vec_col).cast("array<double>")
+    s = df.select(id_col, vec_col).withColumn("sig", hyperplane_signature(v, dim, num_planes))
+    a = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "sig")
+    b = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "sig")
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries_pd,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Arrow/numpy variant: per-partition matmul against the (small,
+    broadcast-as-closure) query matrix — the high-dim fast path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qids = queries_pd["qid"].to_numpy()
+    qm = np.stack(queries_pd["qvec"].to_numpy()).astype("float64")
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = mn @ qn.T  # (n, q)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, n),
+                    id_col: np.tile(pdf[id_col].to_numpy(), len(qids)),
+                    "cosine": sims.T.reshape(-1),
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("cosine", F.round("cosine", 4))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

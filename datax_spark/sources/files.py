@@ -1,0 +1,115 @@
+"""File sources/sinks with DataX unstructured-storage option parity.
+
+Maps the reference's CSV/text option surface
+(``plugin-unstructured-storage-util/.../reader/
+UnstructuredStorageReaderUtil.java:114-429``: fieldDelimiter, encoding,
+skipHeader, nullFormat, compression, per-column {index|value|type|format}
+projection) onto ``spark.read.csv`` options plus a typed projection:
+
+- column index selection → positional ``_c{i}`` select + cast
+- constant columns ({"value": ...}) → ``F.lit`` (the streamreader-style
+  const injection)
+- type+format → explicit cast / to_timestamp with pattern
+
+Compression codecs (gzip/bzip2/snappy/…) are inferred by Spark from file
+extension — the reference's codec switch collapses away. Writers map to
+``df.write`` with mode semantics: DataX hdfswriter writeMode append /
+nonConflict / truncate (``hdfswriter/.../HdfsWriter.java:83-92``) →
+append / errorifexists / overwrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+WRITE_MODES = {"append": "append", "nonConflict": "errorifexists", "truncate": "overwrite"}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    field_delimiter: str = ",",
+    encoding: str = "UTF-8",
+    skip_header: bool = False,
+    null_format: str = r"\N",
+    columns: list[dict] | None = None,
+):
+    """DataX txtfile/hdfs/oss reader semantics on Spark's CSV source."""
+    df = (
+        spark.read.option("sep", field_delimiter)
+        .option("encoding", encoding)
+        .option("header", str(skip_header).lower())
+        .option("nullValue", null_format)
+        .csv(path)
+    )
+    if not columns:
+        return df
+    out = []
+    for j, spec in enumerate(columns):
+        name = spec.get("name", f"col{j}")
+        if "value" in spec:  # constant column
+            col = F.lit(spec["value"])
+        else:
+            idx = spec["index"]
+            src = df.columns[idx] if skip_header else f"_c{idx}"
+            col = F.col(src)
+        ctype = spec.get("type", "string").lower()
+        fmt = spec.get("format")
+        if ctype == "date":
+            col = F.to_timestamp(col, fmt) if fmt else col.cast("timestamp")
+        elif ctype in {"long", "bigint"}:
+            col = col.cast("bigint")
+        elif ctype == "double":
+            col = col.cast("double")
+        elif ctype in {"bool", "boolean"}:
+            col = col.cast("boolean")
+        elif ctype == "bytes":
+            col = F.encode(col.cast("string"), "UTF-8")
+        else:
+            col = col.cast("string")
+        out.append(col.alias(name))
+    return df.select(*out)
+
+
+def write_files(df: DataFrame, path: str, fmt: str = "parquet", write_mode: str = "append", **options):
+    """Unified writer with DataX writeMode mapping; Spark's task-commit
+    protocol replaces the reference's temp-dir + move dance
+    (``HdfsWriter.java:159-185``)."""
+    mode = WRITE_MODES.get(write_mode, write_mode)
+    w = df.write.mode(mode)
+    for k, v in options.items():
+        w = w.option(k, v)
+    getattr(w, fmt)(path)
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    split_col: str | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+    num_partitions: int = 1,
+    predicates: list[str] | None = None,
+    **options,
+):
+    """Partitioned JDBC read — the CommonRdbmsReader split contract
+    (``CommonRdbmsReader.java:172-224``) via Spark's built-in partitioned
+    JDBC source; explicit predicate lists cover the reference's custom
+    WHERE-slice mode. (No live database in this sandbox — exercised via
+    split-math unit tests.)"""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if predicates:
+        import json as _j  # predicates path requires the DataFrameReader.jdbc API
+
+        return spark.read.jdbc(url, table, predicates=predicates, properties=options)
+    if split_col is not None:
+        reader = (
+            reader.option("partitionColumn", split_col)
+            .option("lowerBound", str(lower))
+            .option("upperBound", str(upper))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()

@@ -1,0 +1,77 @@
+"""Dedup + similarity operator behavior on crafted corpora."""
+
+from pyspark.sql import functions as F
+
+from datax_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from datax_spark.operators.similarity import cosine_topk, embedding_near_dup_pairs
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the quick brown fox jumps over the very lazy dog"),      # near dup of 1
+        (4, "completely different text about spark and data engines"),
+        (5, "THE  QUICK   brown fox jumps over the lazy dog"),        # case/ws dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes_case_ws(spark):
+    out = sorted(r["doc_id"] for r in exact_dedup(_docs(spark)).collect())
+    assert out == [1, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(_docs(spark), threshold=0.4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_candidates(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert not any(4 in p for p in pairs)
+    kept = sorted(r["doc_id"] for r in minhash_lsh_dedup(_docs(spark), jaccard_threshold=0.5).collect())
+    assert 1 in kept and 2 not in kept and 5 not in kept and 4 in kept
+
+
+def test_simhash_identical_docs_equal_fp(spark):
+    fps = {r["id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    assert fps[1] == fps[2] == fps[5]
+    assert fps[1] != fps[4]
+    assert all(v >= 0 for v in fps.values())  # 63-bit positive
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_self_first(spark):
+    emb = _vectors(spark)
+    q = emb.filter("vec_id = 0").select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = cosine_topk(emb, q, k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+    assert out[0]["cosine"] == 1.0 and out[0]["rank"] == 1
+
+
+def test_embedding_near_dup(spark):
+    pairs = [(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(_vectors(spark), dim=4, threshold=0.95).collect()]
+    assert pairs == [(0, 1)]

@@ -1,0 +1,118 @@
+"""Lake table format: commits, reads, evolution, tombstones, time travel."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from datax_spark.lake.merge import bulk_load, merge_into
+from datax_spark.lake.schema import TableSchema, can_widen, widen
+from datax_spark.lake.table import CommitConflict, LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def _mk(spark, root, nb=4):
+    return LakeTable.create(spark, root, SCHEMA, key_col="url", num_buckets=nb)
+
+
+def _pages(spark, n, v="a"):
+    return spark.range(n).select(
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("warc_ts"),
+        F.lit(v).alias("lang"),
+    )
+
+
+def test_create_load_roundtrip(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root)
+    assert t.read().count() == 0
+    t2 = LakeTable(spark, tmp_table_root).load()
+    assert t2.key_col == "url" and t2.num_buckets == 4
+
+
+def test_bulk_load_and_read(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root)
+    bulk_load(t, _pages(spark, 100))
+    assert t.read().count() == 100
+    assert set(t.read().columns) == {"url", "warc_ts", "lang"}
+    # system columns available on demand
+    sys_df = t.read(include_system=True)
+    assert "_lsn" in sys_df.columns and "_deleted" in sys_df.columns
+
+
+def test_bucket_pruned_read(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root)
+    bulk_load(t, _pages(spark, 200))
+    total = sum(t.read(buckets=[b]).count() for b in range(4))
+    assert total == 200
+    # manifest has at most one file per (bucket, write)
+    assert len(t.manifest()) <= 4
+
+
+def test_snapshot_time_travel(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root)
+    s1 = bulk_load(t, _pages(spark, 50))
+    s2 = bulk_load(t, _pages(spark, 30, v="b").withColumn(
+        "url", F.concat(F.lit("https://y/"), F.col("url"))))
+    assert t.read(snapshot_id=s1["snapshot_id"]).count() == 50
+    assert t.read(snapshot_id=s2["snapshot_id"]).count() == 80
+
+
+def test_commit_conflict_detected(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root)
+    stale = LakeTable(spark, tmp_table_root).load()
+    bulk_load(t, _pages(spark, 10))
+    with pytest.raises(CommitConflict):
+        bulk_load(stale, _pages(spark, 10))
+
+
+def test_widen_lattice():
+    assert can_widen("int", "bigint")
+    assert can_widen("float", "double")
+    assert not can_widen("bigint", "int")
+    assert widen("int", "bigint") == "bigint"
+    assert can_widen("decimal(10,2)", "decimal(18,2)")
+    assert not can_widen("decimal(10,2)", "decimal(18,4)")
+    with pytest.raises(ValueError):
+        widen("string", "bigint")
+
+
+def test_schema_union_evolution():
+    ts = TableSchema.from_spark(SCHEMA)
+    incoming = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("fetch_status", T.IntegerType(), True),
+        ]
+    )
+    ev, changes = ts.evolve_to_union(incoming)
+    assert ev.schema_id == ts.schema_id + 1
+    assert any("add column fetch_status" in c for c in changes)
+    # field ids are stable for untouched fields
+    assert ev.by_name()["url"].id == ts.by_name()["url"].id
+
+
+def test_expire_tombstones_and_vacuum(spark, tmp_table_root):
+    t = _mk(spark, tmp_table_root)
+    bulk_load(t, _pages(spark, 40))
+    deletes = spark.range(10).select(
+        (F.col("id") + 100).alias("lsn"),
+        F.lit("D").alias("op"),
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704070000) + F.col("id")).alias("warc_ts"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    merge_into(t, deletes)
+    assert t.read().count() == 30
+    assert t.read(include_deleted=True).count() == 40  # tombstones retained
+    t.expire_tombstones()
+    assert t.read(include_deleted=True).count() == 30
+    removed = t.vacuum()
+    assert removed > 0
+    # table still reads fine after vacuum
+    assert t.read().count() == 30

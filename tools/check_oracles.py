@@ -1,0 +1,100 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on Spark and, where an oracle
+exists, the same query in DuckDB; compares row count, column names, and
+an order-insensitive value hash (columns sorted by name, rows sorted by
+their full stringified tuple). Reports per-query PASS/FAIL.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from datax_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def norm_cell(v):
+    if v is None or v != v:  # None / NaN
+        return ""
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    d = df[cols]
+    rows = sorted("\x01".join(norm_cell(v) for v in row) for row in d.itertuples(index=False, name=None))
+    h = hashlib.md5("\x02".join(rows).encode()).hexdigest()
+    return len(df), cols, h
+
+
+def main(selected: list[str] | None = None):
+    spark = get_spark(master="local[16]")
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if selected and name not in selected:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception:
+            results[name] = ("SPARK-ERROR", traceback.format_exc(limit=3))
+            print(f"{name:28s} SPARK-ERROR")
+            continue
+        if name not in oracles:
+            results[name] = ("ROWS-ONLY", len(sdf))
+            print(f"{name:28s} ROWS-ONLY rows={len(sdf)}  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            results[name] = ("ORACLE-ERROR", traceback.format_exc(limit=3))
+            print(f"{name:28s} ORACLE-ERROR")
+            continue
+        sn, sc, sh = frame_hash(sdf)
+        on, oc, oh = frame_hash(odf)
+        ok = (sn == on) and (sc == oc) and (sh == oh)
+        status = "PASS" if ok else "FAIL"
+        results[name] = (status, dict(spark=(sn, sc, sh), duck=(on, oc, oh)))
+        print(f"{name:28s} {status} rows {sn}/{on} cols {'=' if sc == oc else (sc, oc)} hash {'=' if sh == oh else 'DIFF'}  ({time.time()-t0:.1f}s)")
+        if not ok and sn == on and sc == oc:
+            # show a sample diff
+            scols = sorted(sdf.columns)
+            a = sdf[scols].astype(str).apply(lambda r: "|".join(r), axis=1).sort_values().reset_index(drop=True)
+            b = odf[scols].astype(str).apply(lambda r: "|".join(r), axis=1).sort_values().reset_index(drop=True)
+            neq = (a != b)
+            idx = neq[neq].index[:3]
+            for i in idx:
+                print(f"    spark: {a[i][:200]}")
+                print(f"    duck : {b[i][:200]}")
+    fails = [k for k, v in results.items() if v[0] not in ("PASS", "ROWS-ONLY")]
+    print(f"\n{len(results)} checked, {len(fails)} failing: {fails}")
+    for k in fails:
+        if results[k][0].endswith("ERROR"):
+            print("----", k, "----")
+            print(results[k][1])
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
