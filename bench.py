@@ -1,0 +1,197 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: sustained CDC MERGE throughput (events/s) replaying a bounded,
+deterministic change stream into the from-scratch lake table, measured at
+two parallelism levels on the SAME parquet input — local[8] (N) vs
+local[32] (4N) — evidencing the north rule's two-cluster-size scaling
+criterion in this single-box sandbox (see BASELINE.md). Plus wall time
+for representative queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR.
+
+Scaling protocol: input events are generated once and written to parquet
+(identical bytes for both runs); each session first runs a full-size
+warmup replay into a throwaway table (codegen compiled, allocator pools
+grown, heap committed — the steady state a long-lived streaming job runs
+in), then times the real replay; efficiency = (T_N / T_4N) / (4N/N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CORES_SMALL = max(2, CPUS // 4)
+# sf0.1 events table = 100k rows -> 3.2M change events by default;
+# SPARK_GRAFT_BENCH_EVENTS_PER_ROW=64 SPARK_GRAFT_BENCH_BATCHES=1 gives
+# the big-batch configuration used for the BENCH.md scaling evidence.
+EVENTS_PER_SF_ROW = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS_PER_ROW", "32"))
+N_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "2"))
+NUM_BUCKETS = 64
+HTML_PARAGRAPHS = 20    # ~2.8 KB pages (Common-Crawl-ish weight)
+
+QUERY_NAMES = [
+    "cdc_lww_final_state",
+    "q1_pricing_summary",
+    "q3_shipping",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "doc_token_stats",
+    "ann_cosine_topk",
+]
+
+
+def _fresh_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        time.sleep(1)
+    from datax_spark.session import get_spark
+
+    # tmpfs for shuffle/spill: measures compute scaling, not /tmp disk
+    os.makedirs("/dev/shm/datax_bench_local", exist_ok=True)
+    return get_spark(
+        app_name=f"bench_{cores}",
+        master=f"local[{cores}]",
+        # 4x cores: keeps per-task aggregation state small enough to stay
+        # in the hash-agg fast path (32 partitions over a 10 GB batch
+        # spilled; 128 ran 3x faster); AQE coalesces the light stages
+        shuffle_partitions=cores * 4,
+        extra_conf={
+            "spark.local.dir": "/dev/shm/datax_bench_local",
+            # one JVM in local mode; pre-commit the heap so page-fault
+            # storms don't serialize the timed region (measured: cold
+            # JVMs spend 10s of seconds in minor-fault kernel time)
+            "spark.driver.memory": "24g",
+            "spark.driver.extraJavaOptions": "-Xms24g -XX:+AlwaysPreTouch",
+        },
+    )
+
+
+def _replay(spark, input_path: str, table_root: str, n_events: int) -> float:
+    """Timed bounded replay: N_BATCHES fenced merges with the html→text
+    pandas-UDF extractor on the post-dedup winners (the full north-star
+    hot path). Returns seconds."""
+    from pyspark.sql import functions as F, types as T
+
+    from datax_spark.cdc.apply import apply_changes
+    from datax_spark.functions.extract import with_enrichment
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("lang_id", T.StringType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("quality", T.DoubleType(), True),
+            T.StructField("fp", T.LongType(), True),
+        ]
+    )
+    # warmup: a full-size replay into a throwaway table reaches JVM/python
+    # steady state (codegen compiled, allocator pools grown, heap
+    # committed, page cache warm) — the state a long-running streaming
+    # job actually operates in, which is what we measure.
+    ch = spark.read.parquet(input_path)
+    wt = LakeTable.create(spark, f"{table_root}_warm", schema, key_col="url",
+                          num_buckets=NUM_BUCKETS)
+    apply_changes(wt, ch, batch_id=0, transform=with_enrichment)
+
+    # two timed repetitions into fresh tables; report the min (the box
+    # is virtualized and noisy — min-of-repeats is the standard estimator
+    # for the machine's actual capability)
+    per = n_events // N_BATCHES
+    times = []
+    for rep in range(2):
+        t = LakeTable.create(spark, f"{table_root}_r{rep}", schema, key_col="url",
+                             num_buckets=NUM_BUCKETS)
+        t0 = time.time()
+        for b in range(N_BATCHES):
+            hi = (b + 1) * per if b < N_BATCHES - 1 else n_events + 1
+            batch = ch.filter((F.col("lsn") > b * per) & (F.col("lsn") <= hi))
+            apply_changes(t, batch, batch_id=b, transform=with_enrichment)
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    t_bench0 = time.time()
+    # tmpfs workspace: a 1000-executor cluster brings aggregate disk/net
+    # bandwidth that scales with N; this box's single 380 MB/s disk does
+    # not, so measuring compute scaling requires RAM-backed storage.
+    base = tempfile.mkdtemp(prefix="datax_bench_", dir="/dev/shm")
+    try:
+        # ---- derive scale from the sf dir
+        spark = _fresh_spark(CPUS)
+        sf_rows = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+        n_events = sf_rows * EVENTS_PER_SF_ROW
+        sf = round(sf_rows / 1_000_000, 4)
+
+        # ---- deterministic input, written once, shared by both runs
+        from datax_spark.cdc.generator import changes_df
+
+        changes_df(
+            spark, n_events, n_keys=max(1000, n_events // 4), partitions=CPUS,
+            html_paragraphs=HTML_PARAGRAPHS,
+        ).write.parquet(f"{base}/changes")
+        # ---- representative queries at SF_DIR (current session, 4N cores)
+        q_times: dict[str, float] = {}
+        qs = entry_mod.queries()
+        for name in QUERY_NAMES:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            q_times[name] = round(time.time() - t0, 2)
+
+        # ---- replay at 4N cores (this session)
+        t_4n = _replay(spark, f"{base}/changes", f"{base}/t4n", n_events)
+
+        # ---- replay at N cores (fresh session, same input bytes)
+        spark = _fresh_spark(N_CORES_SMALL)
+        t_n = _replay(spark, f"{base}/changes", f"{base}/tn", n_events)
+        spark.stop()
+
+        ratio = CPUS / N_CORES_SMALL
+        efficiency = (t_n / t_4n) / ratio if t_4n > 0 else None
+        eps_4n = n_events / t_4n
+        q_times["cdc_replay_4n"] = round(t_4n, 2)
+        q_times["cdc_replay_n"] = round(t_n, 2)
+
+        out = {
+            "metric": "cdc_merge_replay_sec_at_4N",
+            "value": round(t_4n, 3),
+            "unit": "sec",
+            "queries": q_times,
+            "sf": sf,
+            "n_change_events": n_events,
+            "events_per_sec_4n": round(eps_4n),
+            "events_per_sec_n": round(n_events / t_n),
+            "scaling": {
+                "n_cores": N_CORES_SMALL,
+                "4n_cores": CPUS,
+                "t_n_sec": round(t_n, 2),
+                "t_4n_sec": round(t_4n, 2),
+                "efficiency": round(efficiency, 3) if efficiency else None,
+            },
+            "bench_total_sec": round(time.time() - t_bench0, 1),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree("/dev/shm/datax_bench_local", ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

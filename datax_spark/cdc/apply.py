@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from datax_spark.lake.merge import merge_into
 from datax_spark.lake.table import LakeTable
-from datax_spark.quarantine import ErrorLimits, split_dirty
+from datax_spark.quarantine import ErrorLimits
 
 
 def apply_changes(
@@ -40,8 +40,21 @@ def apply_changes(
     quarantine_dir: str | None = None,
     error_limits: ErrorLimits | None = None,
     evolve: bool = True,
+    transform=None,
 ) -> dict:
-    """Apply one change batch to the lake table. Idempotent per batch_id."""
+    """Apply one change batch to the lake table. Idempotent per batch_id.
+
+    ``transform`` (df → df, e.g. the html→text extractor) runs on the
+    post-dedup LWW winners inside the merge — the Spark placement of the
+    reference's reader-thread transformer chain
+    (``BufferedRecordTransformerExchanger.java:85-92``), but paying per
+    unique key instead of per record.
+
+    Dirty rows ride as an ``observe()`` metric (no extra scan); error
+    limits are checked after the batch commits — job-level abort, the
+    reference's report-tick semantics (``ErrorRecordChecker`` invoked from
+    ``AbstractScheduler.java:89``), not a per-batch rollback.
+    """
     t0 = time.time()
     key = table.key_col
 
@@ -53,15 +66,9 @@ def apply_changes(
             "reason": "batch_id already committed (fence)",
         }
 
-    clean, dirty_count = split_dirty(
-        batch,
-        key_col=key,
-        op_col=op_col,
-        lsn_col=lsn_col,
-        quarantine_dir=quarantine_dir,
-        limits=error_limits,
-        batch_id=batch_id,
-    )
+    from datax_spark.quarantine import split_dirty_lazy, write_quarantine
+
+    clean, obs, tagged = split_dirty_lazy(batch, key_col=key, op_col=op_col, lsn_col=lsn_col)
 
     new_schema = None
     changes_applied: list[str] = []
@@ -80,8 +87,17 @@ def apply_changes(
         stream_id=stream_id,
         batch_id=batch_id,
         new_schema=new_schema,
-        summary_extra={"dirty_rows": dirty_count, "schema_changes": changes_applied},
+        post_dedup_transform=transform,
+        summary_extra={"schema_changes": changes_applied},
     )
+    metrics = obs.get
+    dirty_count = int(metrics.get("dirty", 0) or 0)
+    total = int(metrics.get("total", 0) or 0)
+    if dirty_count:
+        if quarantine_dir:
+            write_quarantine(tagged, quarantine_dir, batch_id)
+        if error_limits is not None:
+            error_limits.check(dirty_count, total)
     dt = time.time() - t0
     rows = int(snap["summary"].get("batch_rows", 0))
     return {

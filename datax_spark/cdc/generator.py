@@ -50,27 +50,40 @@ def _url_expr(idx_col, n_sites: int, hot_fraction: float, n_hot: int):
     )
 
 
-def html_expr(url_col, payload_col):
+def html_expr(url_col, payload_col, n_paragraphs: int = 0):
     """Deterministic template HTML bytes embedding url + payload.
 
-    A slice of pages is latin-1 encoded (FIXTURES.md §1) — here encoding
-    divergence is simulated by an alternate charset marker + non-ascii
-    bytes, exercising the extractor's decode determinism.
+    ``n_paragraphs`` appends that many filler paragraphs (~120 B each,
+    content varied per url by hash) to reach Common-Crawl-ish page sizes
+    (20 ≈ 2.8 KB) — page weight matters for honest throughput numbers.
+    A slice of pages is latin-1 encoded (FIXTURES.md §1), exercising the
+    extractor's decode determinism.
     """
     non_utf8 = F.pmod(F.xxhash64(url_col), F.lit(20)) == 0
-    head = F.concat(
+    parts = [
         F.lit("<html><head><title>Page "),
         url_col,
         F.lit('</title><meta charset="'),
         F.when(non_utf8, F.lit("latin-1")).otherwise(F.lit("utf-8")),
-        F.lit('"></head><body><h1>Doc&nbsp;'),
+        F.lit('"><style>.c{color:red}</style></head><body><h1>Doc&nbsp;'),
         payload_col,
         F.lit("</h1><p>content "),
         payload_col,
         F.lit(" of "),
         url_col,
-        F.lit('</p><script>var x=1;</script><!-- c --></body></html>'),
-    )
+        F.lit("</p>"),
+    ]
+    for i in range(n_paragraphs):
+        h = F.pmod(F.xxhash64(url_col, F.lit(i)), F.lit(99991)).cast("string")
+        parts += [
+            F.lit(f'<p>paragraph {i} of the page body with filler words and <b>markup</b> plus a <a href="/l/'),
+            h,
+            F.lit('">link '),
+            h,
+            F.lit("</a> &amp; trailing text segment.</p>"),
+        ]
+    parts += [F.lit('<script>var x=1;</script><!-- c --></body></html>')]
+    head = F.concat(*parts)
     body = F.when(
         non_utf8, F.encode(F.regexp_replace(head, "content", "contenté"), "ISO-8859-1")
     ).otherwise(F.encode(head, "UTF-8"))
@@ -83,6 +96,7 @@ def pages_df(
     n_sites: int = 50,
     seed: int = 42,
     partitions: int | None = None,
+    html_paragraphs: int = 0,
 ) -> DataFrame:
     """Base web-pages table: one row per url index 0..n-1."""
     base = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
@@ -90,7 +104,7 @@ def pages_df(
     url = _url_expr(idx, n_sites, 0.0, 0)
     payload = F.concat(F.lit("v0-"), _pos(_mix(idx, seed)).cast("string"))
     warc_ts = F.timestamp_seconds(F.lit(1704067200) + (idx % 86400))  # 2024-01-01 +
-    html = html_expr(url, payload)
+    html = html_expr(url, payload, html_paragraphs)
     lang = F.element_at(
         F.array(*[F.lit(x) for x in LANGS]), (F.pmod(F.xxhash64(url), F.lit(len(LANGS))) + 1).cast("int")
     )
@@ -113,6 +127,7 @@ def changes_df(
     start_lsn: int = 1,
     evolve_from_lsn: int | None = None,
     partitions: int | None = None,
+    html_paragraphs: int = 0,
 ) -> DataFrame:
     """LSN-ordered change events over a key space of ``n_keys`` urls.
 
@@ -143,7 +158,9 @@ def changes_df(
     ts_sec = F.lit(1704067200) + i + F.when(ooo, F.lit(-7200)).otherwise(F.lit(0))
     warc_ts = F.timestamp_seconds(ts_sec)
     payload = F.concat(F.lit("v"), i.cast("string"), F.lit("-"), _pos(_mix(i, seed)).cast("string"))
-    html = F.when(op == "D", F.lit(None).cast("binary")).otherwise(html_expr(url, payload))
+    html = F.when(op == "D", F.lit(None).cast("binary")).otherwise(
+        html_expr(url, payload, html_paragraphs)
+    )
     lang = F.when(op == "D", F.lit(None).cast("string")).otherwise(
         F.element_at(
             F.array(*[F.lit(x) for x in LANGS]),

@@ -1,0 +1,200 @@
+"""Job-config surface — the DataX JSON job shape, executed on Spark.
+
+The reference's entire user interface is one JSON document:
+``job.content[] = {reader, transformer[], writer}`` plus
+``job.setting`` (speed/channel, errorLimit) — parsed by
+``core/.../util/ConfigParser.java`` into a path-addressed Configuration
+(``common/.../util/Configuration.java:67-664``) and validated before the
+run (``Engine.java:166``). This module accepts the same *shape* (not a
+byte-compatible parser) so a DataX user's mental model carries over:
+
+```json
+{"job": {
+   "setting": {"speed": {"channel": 8},
+               "errorLimit": {"record": 0, "percentage": 0.02}},
+   "content": [{
+      "reader": {"name": "parquetreader", "parameter": {"path": "..."}},
+      "transformer": [{"name": "dx_substr", "parameter":
+                       {"columnIndex": 0, "paras": ["0", "5"]}}],
+      "writer": {"name": "lakemerger", "parameter": {"path": "...",
+                 "keyColumn": "url", "numBuckets": 64}}}]}}
+```
+
+Readers: parquetreader, txtfilereader (csv), streamreader (synthetic),
+changereader (CDC parquet tail). Writers: parquetwriter, txtfilewriter,
+lakemerger (MERGE INTO the lake table), streamwriter (show/noop).
+dryRun mode validates + explains without moving data
+(``JobContainer.preCheck``, ``JobContainer.java:103-106``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datax_spark.quarantine import ErrorLimits
+
+
+@dataclass
+class JobConfig:
+    reader: dict
+    writer: dict
+    transformers: list[dict] = field(default_factory=list)
+    channels: int = 8
+    error_limits: ErrorLimits | None = None
+    dry_run: bool = False
+
+    @staticmethod
+    def from_json(path_or_str: str) -> "JobConfig":
+        if path_or_str.strip().startswith("{"):
+            doc = json.loads(path_or_str)
+        else:
+            with open(path_or_str) as f:
+                doc = json.load(f)
+        job = doc["job"]
+        content = job["content"][0]
+        setting = job.get("setting", {})
+        speed = setting.get("speed", {})
+        el = setting.get("errorLimit")
+        limits = None
+        if el is not None:
+            limits = ErrorLimits(record=el.get("record"), percentage=el.get("percentage"))
+        return JobConfig(
+            reader=content["reader"],
+            writer=content["writer"],
+            transformers=content.get("transformer", []),
+            channels=int(speed.get("channel", 8)),
+            error_limits=limits,
+            dry_run=bool(setting.get("dryRun", False)),
+        )
+
+
+def _read(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    name = cfg.reader["name"]
+    p = cfg.reader.get("parameter", {})
+    if name == "parquetreader":
+        return spark.read.parquet(*_aslist(p["path"]))
+    if name == "txtfilereader":
+        from datax_spark.sources.files import read_csv
+
+        return read_csv(
+            spark,
+            _aslist(p["path"]),
+            field_delimiter=p.get("fieldDelimiter", ","),
+            encoding=p.get("encoding", "UTF-8"),
+            skip_header=bool(p.get("skipHeader", False)),
+            null_format=p.get("nullFormat", r"\N"),
+            columns=p.get("column"),
+        )
+    if name == "streamreader":
+        from datax_spark.sources.synthetic import stream_source
+
+        return stream_source(
+            spark,
+            slice_record_count=int(p.get("sliceRecordCount", 10)),
+            columns=p["column"],
+            channels=cfg.channels,
+        )
+    if name == "changereader":
+        return spark.read.parquet(*_aslist(p["path"]))
+    raise ValueError(f"unknown reader {name!r}")
+
+
+def _transform(df: DataFrame, cfg: JobConfig) -> DataFrame:
+    if not cfg.transformers:
+        return df
+    from datax_spark.functions.transformers import apply_chain
+
+    chain = []
+    for t in cfg.transformers:
+        par = t.get("parameter", {})
+        col = par.get("column")
+        if col is None and "columnIndex" in par:
+            col = df.columns[int(par["columnIndex"])]
+        chain.append({"name": t["name"], "column": col,
+                      "paras": [_coerce(x) for x in par.get("paras", [])]})
+    return apply_chain(df, chain)
+
+
+def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
+    name = cfg.writer["name"]
+    p = cfg.writer.get("parameter", {})
+    mode = p.get("writeMode", "append")
+    if name == "parquetwriter":
+        from datax_spark.sources.files import write_files
+
+        write_files(df.repartition(cfg.channels), p["path"], "parquet", mode)
+        return {"writer": name, "path": p["path"]}
+    if name == "txtfilewriter":
+        from datax_spark.sources.files import write_files
+
+        write_files(df.repartition(cfg.channels), p["path"], "csv", mode,
+                    sep=p.get("fieldDelimiter", ","), header=p.get("header", "false"))
+        return {"writer": name, "path": p["path"]}
+    if name == "streamwriter":
+        n = df.count()
+        if p.get("print"):
+            df.show(int(p.get("limit", 20)), truncate=False)
+        return {"writer": name, "rows": n}
+    if name == "lakemerger":
+        from datax_spark.cdc.apply import apply_changes
+        from datax_spark.lake.table import LakeTable
+        from pyspark.sql import types as T
+
+        root = p["path"]
+        if not LakeTable.exists(root):
+            user_schema = T.StructType(
+                [f for f in df.schema.fields if f.name not in (
+                    p.get("lsnColumn", "lsn"), p.get("opColumn", "op"))]
+            )
+            table = LakeTable.create(
+                spark, root, user_schema,
+                key_col=p.get("keyColumn", "url"),
+                num_buckets=int(p.get("numBuckets", 64)),
+            )
+        else:
+            table = LakeTable(spark, root).load()
+        m = apply_changes(
+            table, df,
+            batch_id=p.get("batchId"),
+            stream_id=p.get("streamId", "job"),
+            ts_col=p.get("tsColumn", "warc_ts"),
+            lsn_col=p.get("lsnColumn", "lsn"),
+            op_col=p.get("opColumn", "op"),
+            quarantine_dir=p.get("quarantineDir"),
+            error_limits=cfg.error_limits,
+        )
+        return {"writer": name, **{k: v for k, v in m.items() if k != "lineage"}}
+    raise ValueError(f"unknown writer {name!r}")
+
+
+def _aslist(x):
+    return x if isinstance(x, list) else [x]
+
+
+def _coerce(x):
+    if isinstance(x, str):
+        try:
+            return int(x)
+        except ValueError:
+            return x
+    return x
+
+
+def run_job(spark: SparkSession, config: str | JobConfig) -> dict:
+    """Execute a job config; returns a result/metrics dict.
+
+    Lifecycle mirrors JobContainer phases: parse/validate → (dryRun:
+    explain + stop) → read → transform chain → write → report.
+    """
+    cfg = config if isinstance(config, JobConfig) else JobConfig.from_json(config)
+    df = _read(spark, cfg)
+    df = _transform(df, cfg)
+    if cfg.dry_run:
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        return {"dryRun": True, "schema": df.schema.simpleString(), "plan": plan}
+    return _write(df, spark, cfg)

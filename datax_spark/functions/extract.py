@@ -77,3 +77,83 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
     """Attach extracted text column. Stays a projection — no shuffle."""
     return df.withColumn(out_col, extract_text_udf(F.col(html_col)))
+
+
+# -------------------------------------------------------------- enrichment
+
+_LANG_ORDER = ["en", "de", "fr", "es"]
+_WORD2LANG: dict[str, str] = {}
+for _lg, _ws in {
+    "en": "the and of to in is that it for was",
+    "de": "der die das und ist nicht ein mit von zu",
+    "fr": "le la les et est une des dans pour que",
+    "es": "el la los las y es una del para por",
+}.items():
+    for _w in _ws.split():
+        _WORD2LANG.setdefault(_w, _lg)
+
+_NON_ALPHA_RE = re.compile(r"[^A-Za-zÀ-ÿ]+")
+
+
+def _enrich_one(raw: bytes | None):
+    """extract + language-id + token count + quality + fingerprint.
+
+    Everything per-character runs in C (regex/str builtins/hashlib) —
+    the python-level work is O(tokens), not O(bytes), which is what keeps
+    an Arrow batch of thousands of documents inside the UDF time budget.
+    """
+    import hashlib
+
+    text = extract_text(raw)
+    if text is None:
+        return None, None, None, None, None
+    toks = text.lower().split()
+    n_tok = len(toks)
+    hits = {lg: 0 for lg in _LANG_ORDER}
+    for w in toks:
+        lg = _WORD2LANG.get(w)
+        if lg is not None:
+            hits[lg] += 1
+    best = max(_LANG_ORDER, key=lambda lg: (hits[lg], -_LANG_ORDER.index(lg)))
+    lang = best if hits[best] > 0 else "und"
+    n_alpha = len(_NON_ALPHA_RE.sub("", text))
+    alpha_ratio = n_alpha / len(text) if text else 0.0
+    sw_ratio = (hits[best] / n_tok) if n_tok else 0.0
+    quality = round(
+        0.4 * min(n_tok / 100.0, 1.0) + 0.3 * alpha_ratio + 0.3 * min(sw_ratio * 4, 1.0), 4
+    )
+    # deterministic 64-bit fingerprint: first 8 bytes of md5 (C-speed)
+    fp = int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:8], "big", signed=True)
+    return text, lang, n_tok, quality, fp
+
+
+_ENRICH_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("lang_id", T.StringType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("quality", T.DoubleType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(_ENRICH_TYPE)
+def enrich_udf(html: pd.Series) -> pd.DataFrame:
+    rows = [_enrich_one(None if h is None else bytes(h)) for h in html]
+    return pd.DataFrame(rows, columns=[f.name for f in _ENRICH_TYPE.fields])
+
+
+def with_enrichment(df, html_col: str = "html"):
+    """Attach (text, lang_id, n_tokens, quality, fp) in ONE Arrow pass —
+    the post-dedup transform for the flagship pipeline. Still a pure
+    projection: no shuffle, cost ∝ rows × page size."""
+    e = enrich_udf(F.col(html_col))
+    return df.select("*", e.alias("_e")).select(
+        *df.columns,
+        F.col("_e.text").alias("text"),
+        F.col("_e.lang_id").alias("lang_id"),
+        F.col("_e.n_tokens").alias("n_tokens"),
+        F.col("_e.quality").alias("quality"),
+        F.col("_e.fp").alias("fp"),
+    )

@@ -42,7 +42,11 @@ from datax_spark.lake.table import (
 )
 
 OP_COL = "op"
-DEFAULT_BROADCAST_ROWS = 2_000_000
+# Broadcast builds the whole deduped batch into a driver-side hash
+# relation — single-threaded and O(batch bytes). Worth it only for
+# trickle batches; web-page rows are KBs, so cap by rows such that the
+# build stays ~100s of MB. Large backfill batches take the shuffle path.
+DEFAULT_BROADCAST_ROWS = 100_000
 
 
 def lww_dedup(changes: DataFrame, key_col: str, ts_col: str, lsn_col: str) -> DataFrame:
@@ -99,18 +103,33 @@ def merge_into(
     dedup: bool = True,
     summary_extra: dict | None = None,
     new_schema=None,
+    post_dedup_transform=None,
 ) -> dict:
     """Apply a batch of change events to ``table``; returns the snapshot.
 
     ``changes`` columns: key, op ('I'|'U'|'D'), ts_col, lsn_col, payload...
     Schema evolution (``new_schema``) is resolved by the caller
     (cdc.apply) so quarantine can intercept incompatible rows first.
+
+    ``post_dedup_transform`` (df → df) runs on the LWW winners only — the
+    placement for expensive per-row work like html→text extraction: cost
+    scales with unique keys per batch, not raw events (a hot key updated
+    10^6 times in a batch is extracted once).
     """
     key = table.key_col
     nb = table.num_buckets
 
     c = lww_dedup(changes, key, ts_col, lsn_col) if dedup else changes
+    if post_dedup_transform is not None:
+        c = post_dedup_transform(c)
     c = c.withColumn("_cbucket", bucket_expr(key, nb))
+    # The deduped batch feeds three consumers (lineage stats, the
+    # survivors join, the insert anti-join); persist it once instead of
+    # recomputing the aggregation per consumer. Batches are bounded by
+    # the trigger size, and DISK spill keeps this safe at scale.
+    from pyspark import StorageLevel
+
+    c = c.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Lineage stats + touched buckets in ONE job over the deduped batch.
     stats_rows = (
@@ -129,6 +148,7 @@ def merge_into(
     user_cols = [f.name for f in tschema.fields if f.name not in (LSN_COL, DELETED_COL)]
 
     if batch_rows == 0:
+        c.unpersist()
         return table.commit([], set(), operation="merge", stream_id=stream_id,
                             batch_id=batch_id, summary_extra=summary_extra,
                             new_schema=new_schema)
@@ -211,6 +231,7 @@ def merge_into(
     final = survivors.unionByName(inserts)
 
     entries = table.write_data_files(final, tschema)
+    c.unpersist()
     extra = {"lineage": lineage, "batch_rows": batch_rows,
              "merge_strategy": "broadcast" if use_broadcast else "shuffle"}
     extra.update(summary_extra or {})

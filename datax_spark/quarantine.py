@@ -52,6 +52,44 @@ def dirty_reason(key_col: str, op_col: str, lsn_col: str):
     )
 
 
+def split_dirty_lazy(
+    batch: DataFrame,
+    key_col: str,
+    op_col: str,
+    lsn_col: str,
+):
+    """Zero-extra-job variant: returns (clean_df, observation, tagged_df).
+
+    The dirty count rides as an ``observe()`` metric collected during the
+    merge's own first action — no separate count scan (the reference
+    similarly checks error limits at report ticks, not per record:
+    ``AbstractScheduler.java:89``). Read the count AFTER the merge with
+    ``observation.get["dirty"]``; write quarantine rows from ``tagged_df``
+    only when it is non-zero.
+    """
+    from pyspark.sql import Observation
+
+    reason = dirty_reason(key_col, op_col, lsn_col)
+    tagged = batch.withColumn("_dirty_reason", reason)
+    obs = Observation()
+    observed = tagged.observe(
+        obs,
+        F.count(F.when(F.col("_dirty_reason").isNotNull(), 1)).alias("dirty"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    clean = observed.filter(F.col("_dirty_reason").isNull()).drop("_dirty_reason")
+    return clean, obs, tagged
+
+
+def write_quarantine(tagged: DataFrame, quarantine_dir: str, batch_id: int | None) -> None:
+    (
+        tagged.filter(F.col("_dirty_reason").isNotNull())
+        .withColumn("_batch_id", F.lit(batch_id).cast("bigint"))
+        .write.mode("append")
+        .parquet(quarantine_dir)
+    )
+
+
 def split_dirty(
     batch: DataFrame,
     key_col: str,

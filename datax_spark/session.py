@@ -46,9 +46,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Binary-heavy pipelines: Spark 4.1's scalar pandas_udf runner
+        # degrades super-linearly with Arrow batch BYTES on multi-KB
+        # binary columns (measured: 10k-row × 3KB batches 7× slower than
+        # 1k-row). Cap rows/batch so a batch stays a few MB.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("DATAX_SPARK_ARROW_BATCH", "1024"),
+        )
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("DATAX_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
     )
     for k, v in (extra_conf or {}).items():

@@ -24,6 +24,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 WRITE_MODES = {"append": "append", "nonConflict": "errorifexists", "truncate": "overwrite"}
 
+# hdfsreader's supported formats (``hdfsreader/.../HdfsReader.java:82-88``:
+# TEXT, CSV, ORC, SEQ, RC, PARQUET). SEQ/RC are Hadoop-era container
+# formats with no modern DataSource — out of scope (Hive SerDe tables
+# cover them on a real cluster).
+READ_FORMATS = {"text", "csv", "orc", "parquet", "json"}
+
+
+def read_files(spark: SparkSession, path: str | list[str], fmt: str = "parquet", **options):
+    """Format-dispatching file read — the hdfsreader format gate, minus
+    the per-format row-assembly code Spark's readers replace. Paths may
+    be globs; object stores mount as filesystem schemes (s3a://, oss via
+    hadoop-aliyun) exactly as the reference's OSS/HDFS readers do."""
+    fmt = fmt.lower()
+    if fmt not in READ_FORMATS:
+        raise ValueError(f"unsupported read format {fmt!r} (SEQ/RC need Hive SerDe tables)")
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    paths = path if isinstance(path, list) else [path]
+    return getattr(reader, fmt)(*paths)
+
 
 def read_csv(
     spark: SparkSession,
@@ -80,6 +101,56 @@ def write_files(df: DataFrame, path: str, fmt: str = "parquet", write_mode: str 
     for k, v in options.items():
         w = w.option(k, v)
     getattr(w, fmt)(path)
+
+
+def write_jdbc_batched(
+    df,
+    url: str,
+    table: str,
+    write_mode: str = "insert",
+    batch_size: int = 2048,
+    num_partitions: int | None = None,
+    pre_sql: list[str] | None = None,
+    post_sql: list[str] | None = None,
+    **options,
+):
+    """JDBC sink with CommonRdbmsWriter semantics
+    (``plugin-rdbms-util/.../writer/CommonRdbmsWriter.java:266-313`` batch
+    loop; write modes ``WriterUtil.java:111-168``).
+
+    - ``insert`` → plain INSERT batches (Spark JDBC ``append``).
+    - ``replace`` / ``update`` → MySQL REPLACE / ON DUPLICATE KEY need a
+      sink-side upsert statement Spark's JDBC writer doesn't generate; the
+      engine's native path for upsert is the lake MERGE — for a JDBC
+      target, stage to a temp table then run the upsert via ``post_sql``
+      (the DataX preSql/postSql hook, ``CommonRdbmsWriter.java:89-129``).
+    - ``batchSize`` maps to the JDBC option of the same name (reference
+      default ``Constant.DEFAULT_BATCH_SIZE``; benchmarks show ≥512
+      required for throughput, ``mysqlwriter/doc/mysqlwriter.md:332-335``).
+
+    No live database exists in this sandbox; exercised by the split-math
+    unit tests and kept engine-side thin (Spark handles per-partition
+    connections, retries require idempotent statements — the same
+    condition as ``Writer.Task.supportFailOver``).
+    """
+    if write_mode not in ("insert", "replace", "update"):
+        raise ValueError(f"unknown writeMode {write_mode!r}")
+    out = df.repartition(num_partitions) if num_partitions else df
+    w = (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batch_size)
+        .mode("append")
+    )
+    for k, v in options.items():
+        w = w.option(k, v)
+    if pre_sql or post_sql or write_mode != "insert":
+        raise NotImplementedError(
+            "replace/update/preSql/postSql need a live JDBC connection to "
+            "execute sink-side SQL; stage via insert + post_sql upsert"
+        )
+    w.save()
 
 
 def read_jdbc_partitioned(

@@ -1,0 +1,92 @@
+"""DataX-shaped job config execution (reader → transformer chain → writer)."""
+
+import json
+
+from datax_spark.config import JobConfig, run_job
+
+
+def test_stream_to_streamwriter(spark):
+    cfg = JobConfig.from_json(json.dumps({
+        "job": {
+            "setting": {"speed": {"channel": 4}},
+            "content": [{
+                "reader": {"name": "streamreader", "parameter": {
+                    "sliceRecordCount": 10,
+                    "column": [
+                        {"type": "string", "value": "DataX", "name": "c0"},
+                        {"type": "long", "random": "0, 9", "name": "c1"},
+                    ]}},
+                "writer": {"name": "streamwriter", "parameter": {}},
+            }],
+        }
+    }))
+    out = run_job(spark, cfg)
+    assert out["rows"] == 40  # sliceRecordCount × channels
+
+
+def test_transform_chain_and_parquet_writer(spark, tmp_path):
+    dst = str(tmp_path / "out")
+    cfg = JobConfig.from_json(json.dumps({
+        "job": {
+            "setting": {"speed": {"channel": 2}},
+            "content": [{
+                "reader": {"name": "streamreader", "parameter": {
+                    "sliceRecordCount": 5,
+                    "column": [{"type": "string", "value": "DataX", "name": "c0"}]}},
+                "transformer": [
+                    {"name": "dx_pad", "parameter": {"column": "c0", "paras": ["r", 8, "_"]}},
+                    {"name": "dx_digest", "parameter": {"column": "c0", "paras": ["md5", "toUpperCase"]}},
+                ],
+                "writer": {"name": "parquetwriter", "parameter": {"path": dst, "writeMode": "nonConflict"}},
+            }],
+        }
+    }))
+    run_job(spark, cfg)
+    import hashlib
+
+    rows = spark.read.parquet(dst).collect()
+    assert len(rows) == 10
+    assert rows[0]["c0"] == hashlib.md5(b"DataX___").hexdigest().upper()
+
+
+def test_lakemerger_writer(spark, tmp_path):
+    src = str(tmp_path / "changes")
+    root = str(tmp_path / "table")
+    from datax_spark.cdc.generator import changes_df
+
+    changes_df(spark, 500, n_keys=100, partitions=2).write.parquet(src)
+    cfg = JobConfig.from_json(json.dumps({
+        "job": {
+            "setting": {"errorLimit": {"record": 0}},
+            "content": [{
+                "reader": {"name": "changereader", "parameter": {"path": src}},
+                "writer": {"name": "lakemerger", "parameter": {
+                    "path": root, "keyColumn": "url", "numBuckets": 4, "batchId": 0}},
+            }],
+        }
+    }))
+    out = run_job(spark, cfg)
+    assert out["batch_rows"] > 0
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, root).load()
+    assert t.read().count() > 0
+    # re-running the same job (same batchId) is fenced to a no-op
+    out2 = run_job(spark, cfg)
+    assert out2["skipped"] is True
+
+
+def test_dry_run_returns_plan(spark):
+    cfg = JobConfig.from_json(json.dumps({
+        "job": {
+            "setting": {"dryRun": True},
+            "content": [{
+                "reader": {"name": "streamreader", "parameter": {
+                    "sliceRecordCount": 3,
+                    "column": [{"type": "long", "random": "0, 5", "name": "c0"}]}},
+                "writer": {"name": "streamwriter", "parameter": {}},
+            }],
+        }
+    }))
+    out = run_job(spark, cfg)
+    assert out["dryRun"] is True and "c0" in out["schema"]
