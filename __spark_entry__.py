@@ -360,6 +360,73 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthetic_media(spark, 200))
 
 
+def _q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datax_spark.cdc.windows import windowed_change_counts
+
+    ch = _as_changes(load(spark, sf_dir, "events")).withColumnRenamed("ts", "warc_ts")
+    w = windowed_change_counts(ch, ts_col="warc_ts", window_duration="1 hour")
+    return w.select(
+        F.date_format("window_start", _TS_FMT_SPARK).alias("window_start"), "op", "n_events"
+    )
+
+
+def _q_cdc_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize each key's change history with a 30-minute gap rule —
+    cumulative-sum-over-lag windowing (the advanced window surface)."""
+    from pyspark.sql import Window as W
+
+    ch = _as_changes(load(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id").orderBy("ts", "lsn")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800).cast("int")
+    sess = ch.withColumn("new_sess", F.coalesce(gap, F.lit(1)))
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def _q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datax_spark.functions.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_id"))
+
+
+def _q_doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datax_spark.functions.text import stopword_ratio
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(stopword_ratio(F.col("text"), "en"), 6).alias("sw_ratio"))
+
+
+def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n", "total",
+        )
+    )
+
+
+def _q_setops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    frequent = (
+        orders.groupBy("o_custkey").agg(F.count("*").alias("n")).filter("n >= 4").select("o_custkey")
+    )
+    big = orders.filter(F.col("o_totalprice") > 300000).select("o_custkey").distinct()
+    return frequent.subtract(big).select(F.col("o_custkey").alias("custkey"))
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_final_state": _q_cdc_lww_final_state,
@@ -385,6 +452,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "stream_source_const": _q_stream_source,
         "media_features": _q_media_features,
+        "events_windowed_counts": _q_events_windowed_counts,
+        "cdc_session_gaps": _q_cdc_session_gaps,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_stopword_ratio": _q_doc_stopword_ratio,
+        "rollup_orders": _q_rollup_orders,
+        "setops_custkeys": _q_setops_custkeys,
+        "customers_without_orders": _q_customers_without_orders,
     }
 
 
@@ -537,6 +611,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'DataX' AS c0, CAST(1724154616370 AS BIGINT) AS c1,
                    '2024-01-01 00:00:00' AS c2, true AS c3
             FROM range(50)
+        """,
+        "events_windowed_counts": f"""
+            WITH ch AS ({ch})
+            SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+                   op, count(*) AS n_events
+            FROM ch GROUP BY 1, 2
+        """,
+        "cdc_session_gaps": f"""
+            WITH ch AS ({ch}),
+            l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, lsn) AS prev
+                  FROM ch),
+            s AS (SELECT user_id,
+                         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_sess
+                  FROM l)
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "doc_lang_id": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id,
+                len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','it','for','was'], x))) AS en,
+                len(list_filter(w, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS de,
+                len(list_filter(w, x -> list_contains(['le','la','les','et','est','une','des','dans','pour','que'], x))) AS fr,
+                len(list_filter(w, x -> list_contains(['el','la','los','las','y','es','una','del','para','por'], x))) AS es,
+                len(list_filter(w, x -> list_contains(['的','是','在','了','和','有','我','他','这','们'], x))) AS zh
+              FROM words
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en,de,fr,es,zh) = 0 THEN 'und'
+                        WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+                        WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+                        WHEN fr >= es AND fr >= zh THEN 'fr'
+                        WHEN es >= zh THEN 'es'
+                        ELSE 'zh' END AS lang_id
+            FROM hits
+        """,
+        "doc_stopword_ratio": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(w) > 0 THEN
+                     len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','it','for','was'], x))) * 1.0 / len(w)
+                   ELSE 0 END, 6) AS sw_ratio
+            FROM words
+        """,
+        "rollup_orders": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "setops_custkeys": """
+            SELECT o_custkey AS custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 4
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         # rows-only (non-SQL-expressible or approximate):
         #   cdc pipeline itself (entry), dedup_minhash_lsh (hash-family

@@ -86,12 +86,16 @@ def lang_id(col) -> Column:
     """Stopword-hit language id over the fixed lexicons; ties break by
     fixed language order (en, de, fr, es, zh); no hits → 'und'."""
     words = F.split(F.lower(normalize_ws(col)), r"\s+")
+
+    def _hit(sw):
+        return lambda w: F.array_contains(sw, w)
+
     scores = []
     for lg in ["en", "de", "fr", "es", "zh"]:
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lg]])
         scores.append(
             F.struct(
-                F.size(F.filter(words, lambda w, s=sw: F.array_contains(s, w))).alias("hits"),
+                F.size(F.filter(words, _hit(sw))).alias("hits"),
                 F.lit({"en": 4, "de": 3, "fr": 2, "es": 1, "zh": 0}[lg]).alias("prio"),
                 F.lit(lg).alias("lang"),
             )

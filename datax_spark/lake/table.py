@@ -395,6 +395,22 @@ class LakeTable:
             operation="expire_tombstones",
         )
 
+    def compact_buckets(self, min_files_per_bucket: int = 2) -> dict | None:
+        """Rewrite buckets whose file count exceeds the threshold into one
+        file each — small-file maintenance for long streams (each merge
+        writes ≥1 file per touched bucket; a day of minute-batches leaves
+        1440 files/bucket without this). Runs as a normal CoW commit, so
+        readers never see a partial state."""
+        counts: dict[int, int] = {}
+        for e in self.manifest():
+            counts[e["bucket"]] = counts.get(e["bucket"], 0) + 1
+        victims = {b for b, n in counts.items() if n >= min_files_per_bucket}
+        if not victims:
+            return None
+        df = self.read(buckets=sorted(victims), include_deleted=True, include_system=True)
+        entries = self.write_data_files(df, self.schema())
+        return self.commit(entries, replaced_buckets=victims, operation="compact")
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the current snapshot."""
         live = {e["path"] for e in self.manifest()}
