@@ -44,7 +44,9 @@ def _as_changes(events: DataFrame) -> DataFrame:
         F.col("event_id").alias("lsn"),
         op.alias("op"),
         F.col("user_id"),
-        F.col("ts"),
+        # parquet stores ts as isAdjustedToUTC=false -> Spark reads
+        # TIMESTAMP_NTZ; normalize to session-TZ timestamp (UTC session)
+        F.col("ts").cast("timestamp").alias("ts"),
         F.col("event_type"),
         F.col("value"),
     )

@@ -36,6 +36,7 @@ _ATOMIC = {
     "double": T.DoubleType(),
     "boolean": T.BooleanType(),
     "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
     "date": T.DateType(),
     "binary": T.BinaryType(),
 }
