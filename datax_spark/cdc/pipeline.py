@@ -75,6 +75,7 @@ def run_stream(
     available_now: bool = True,
     timeout_sec: float | None = None,
     stop_after_batches: int | None = None,
+    transform=None,
 ):
     """Tail parquet change files in ``source_dir`` into the lake table.
 
@@ -95,6 +96,7 @@ def run_stream(
             stream_id=stream_id,
             quarantine_dir=quarantine_dir,
             error_limits=error_limits,
+            transform=transform,
         )
         write_metrics(table_root, metrics)
         seen["n"] += 1
