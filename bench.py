@@ -125,26 +125,28 @@ def _replay(spark, input_path: str, table_root: str, n_events: int) -> float:
     return min(times)
 
 
+def _calibration_burn(_):
+    import hashlib
+
+    h = b"x"
+    for _ in range(1_000_000):
+        h = hashlib.md5(h).digest()
+    return 0
+
+
 def _host_calibration() -> dict:
     """Fixed-work CPU probe: flags noisy-neighbor interference on this
     virtualized host (cross-run variance up to 2x observed). Nominal
     single-core time on a quiet host ≈ 0.55 s; a higher reading means
     the accompanying throughput numbers understate the engine."""
-    import hashlib
     import multiprocessing as mp
 
-    def burn(_):
-        h = b"x"
-        for _ in range(1_000_000):
-            h = hashlib.md5(h).digest()
-        return 0
-
     t0 = time.time()
-    burn(0)
+    _calibration_burn(0)
     single = time.time() - t0
     t0 = time.time()
     with mp.Pool(16) as p:
-        p.map(burn, range(16))
+        p.map(_calibration_burn, range(16))
     par16 = time.time() - t0
     return {"single_core_sec": round(single, 2), "parallel16_sec": round(par16, 2)}
 
