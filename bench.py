@@ -137,7 +137,7 @@ def _calibration_burn(_):
 def _host_calibration() -> dict:
     """Fixed-work CPU probe: flags noisy-neighbor interference on this
     virtualized host (cross-run variance up to 2x observed). Nominal
-    single-core time on a quiet host ≈ 0.55 s; a higher reading means
+    single-core time on a quiet host ≈ 0.45 s; a higher reading means
     the accompanying throughput numbers understate the engine."""
     import multiprocessing as mp
 
