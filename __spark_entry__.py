@@ -627,7 +627,7 @@ def oracle_sql() -> dict[str, str]:
             s AS (SELECT user_id,
                          CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_sess
                   FROM l)
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM s GROUP BY user_id
         """,
         "doc_lang_id": r"""
@@ -682,11 +682,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
-        # rows-only (non-SQL-expressible or approximate):
-        #   cdc pipeline itself (entry), dedup_minhash_lsh (hash-family
-        #   specific), dedup_simhash (bit algebra), ann_lsh_topk
-        #   (recall<1), doc_fingerprint (xxhash64), media_features (UDF
-        #   plumbing), doc stopword/lang (lambda parity TBD)
+        # Hash-family-specific / approximate operators: DuckDB has no
+        # xxhash64, so the oracle is an independent pure-python reference
+        # implementation (datax_spark/oracle/pyref.py — shares no code
+        # with the Spark plans) materialized as a VALUES relation. The
+        # driver still value-compares Spark vs DuckDB row-by-row.
+        **_pyref_oracles(),
+    }
+
+
+def _pyref_oracles() -> dict[str, str]:
+    from datax_spark.oracle import pyref
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return {
+        "doc_fingerprint": pyref.values_sql(
+            pyref.fingerprint_rows(sf_dir),
+            [("doc_id", "BIGINT"), ("fp", "BIGINT")],
+        ),
+        "dedup_minhash_lsh": pyref.values_sql(
+            pyref.minhash_pairs_rows(sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5),
+            [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("jaccard_est", "DOUBLE")],
+        ),
+        "dedup_simhash": pyref.values_sql(
+            pyref.simhash_rows(sf_dir),
+            [("id", "BIGINT"), ("simhash", "BIGINT")],
+        ),
+        "ann_lsh_topk": pyref.values_sql(
+            pyref.ann_lsh_topk_rows(sf_dir, k=10, num_planes=12),
+            [("qid", "BIGINT"), ("vec_id", "BIGINT"), ("cosine", "DOUBLE"), ("rank", "INTEGER")],
+        ),
+        "media_features": pyref.values_sql(
+            pyref.media_features_rows(200),
+            [("media_id", "BIGINT"), ("kind", "VARCHAR"), ("n_bytes", "BIGINT"),
+             ("checksum", "BIGINT"), ("fake_mean", "DOUBLE")],
+        ),
     }
 
 

@@ -44,15 +44,29 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k_shingle: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """(id, array<minhash>) — each minhash_i = min over shingles of
-    xxhash64(shingle, i). Pure JVM expressions; one pass, no shuffle."""
-    sh = shingles(F.col(text_col), k_shingle)
+    xxhash64(shingle, i). Pure JVM expressions; one pass, no shuffle.
+
+    Each shingle string is hashed ONCE (O(bytes)); the ``num_hashes``
+    permutations re-hash only the resulting 8-byte long (xxhash64 long
+    specialization — O(1) per element), so signature cost is
+    O(bytes + num_hashes·n_shingles), not O(num_hashes·bytes).
+
+    NB: permutation lambdas MUST take a single argument — a two-param
+    lambda makes ``F.transform`` bind the second to the array index,
+    silently replacing the permutation seed (a bug this engine shipped
+    in round 1: all 32 minhashes collapsed to one value)."""
+    base = F.transform(shingles(F.col(text_col), k_shingle), lambda s: F.xxhash64(s))
+
+    def _perm(i: int):
+        return lambda h: F.xxhash64(h, F.lit(i))
+
     mins = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(F.col("_base"), _perm(i))) for i in range(num_hashes)]
     )
-    return df.select(F.col(id_col).alias("id"), mins.alias("sig"))
+    return (
+        df.select(F.col(id_col).alias("id"), base.alias("_base"))
+        .select("id", mins.alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -87,18 +101,21 @@ def minhash_lsh_pairs(
     )
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_sig")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_sig")
-    cand = (
+    # jaccard_est is computed BEFORE the pair-dedup so the 32×8B signature
+    # arrays are projected away prior to the dropDuplicates shuffle — the
+    # exchange carries (id_a, id_b, est) only, not 512B of sigs per row.
+    est = (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .withColumn(
+            "jaccard_est",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+            / F.lit(num_hashes),
+        )
+        .select("id_a", "id_b", "jaccard_est")
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = cand.withColumn(
-        "jaccard_est",
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        / F.lit(num_hashes),
-    )
-    return est.filter(F.col("jaccard_est") >= jaccard_threshold).select("id_a", "id_b", "jaccard_est")
+    return est.filter(F.col("jaccard_est") >= jaccard_threshold)
 
 
 def minhash_lsh_dedup(

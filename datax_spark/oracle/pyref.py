@@ -1,0 +1,241 @@
+"""Pure-Python reference implementations for the non-SQL-expressible
+operators, plus a VALUES-literal SQL emitter so DuckDB can check them.
+
+Each ``*_rows`` function recomputes the operator's expected output from
+the raw parquet inputs using ONLY this package's xxh64 + the published
+algorithm definitions (MinHash banding, SimHash bit-sums, random
+hyperplane LSH, the multimodal stub math) — no Spark, no engine imports.
+``__spark_entry__.oracle_sql()`` turns the rows into
+``SELECT ... FROM (VALUES ...)`` strings for the driver's DuckDB gate.
+
+Text normalization mirrors the engine's JVM expressions bit-for-bit:
+Java ``\\s`` is ASCII-only ``[ \\t\\n\\x0B\\f\\r]`` (Python's ``\\s`` is
+Unicode-wide — do NOT use it here), ``F.trim`` strips ASCII spaces, and
+all float reductions are sequential left folds exactly like
+``F.aggregate``. Rounding replicates Spark's HALF_UP-on-shortest-repr
+(``BigDecimal.valueOf(double).setScale(n, HALF_UP)``).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+from datax_spark.oracle.xxh64 import spark_xxhash64
+
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _normalize(text: str) -> str:
+    """lower(trim(regexp_replace(text, \\s+, ' '))) with Java semantics."""
+    return _JAVA_WS.sub(" ", text).strip(" ").lower()
+
+
+def _words(text: str) -> list[str]:
+    return _normalize(text).split(" ")
+
+
+def _shingles(text: str, k: int = 3) -> list[str]:
+    w = _words(text)
+    if len(w) >= k:
+        return [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+    return [" ".join(w)]
+
+
+def _round_half_up(x: float, n: int) -> float:
+    """Spark F.round on double: HALF_UP over the shortest decimal repr."""
+    q = Decimal(1).scaleb(-n)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _load_pandas(sf_dir: str, name: str):
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet")).to_pandas()
+
+
+# ------------------------------------------------------------ fingerprint
+
+def fingerprint_rows(sf_dir: str) -> list[tuple]:
+    """(doc_id, fp) — xxhash64 over normalized-lowered text (engine:
+    functions/text.py::fingerprint64)."""
+    docs = _load_pandas(sf_dir, "documents")
+    return [
+        (int(r.doc_id), spark_xxhash64(("str", _normalize(r.text))))
+        for r in docs.itertuples()
+    ]
+
+
+# ----------------------------------------------------------- minhash LSH
+
+def minhash_pairs_rows(
+    sf_dir: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> list[tuple]:
+    """(id_a, id_b, jaccard_est) — banded MinHash candidate pairs
+    (engine: operators/dedup.py::minhash_lsh_pairs). Hash family: base =
+    xxhash64(shingle string); permutation j = xxhash64(base_long, j)."""
+    docs = _load_pandas(sf_dir, "documents")
+    rows_per_band = num_hashes // bands
+    sigs: dict[int, list[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for r in docs.itertuples():
+        bases = [spark_xxhash64(("str", s)) for s in _shingles(r.text, k_shingle)]
+        sig = [
+            min(spark_xxhash64(("long", h), ("int", j)) for h in bases)
+            for j in range(num_hashes)
+        ]
+        did = int(r.doc_id)
+        sigs[did] = sig
+        for b in range(bands):
+            band_key = ",".join(
+                str(sig[b * rows_per_band + rr]) for rr in range(rows_per_band)
+            )
+            buckets.setdefault((b, spark_xxhash64(("str", band_key))), []).append(did)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(pairs):
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / num_hashes
+        if est >= threshold:
+            out.append((a, b, est))
+    return out
+
+
+# --------------------------------------------------------------- simhash
+
+def simhash_rows(sf_dir: str) -> list[tuple]:
+    """(id, simhash) — 63-bit sign-sum SimHash over whitespace tokens
+    (engine: operators/dedup.py::simhash64; bit 63 skipped there too)."""
+    docs = _load_pandas(sf_dir, "documents")
+    out = []
+    for r in docs.itertuples():
+        sums = [0] * 63
+        for w in _words(r.text):
+            h = spark_xxhash64(("str", w))
+            for i in range(63):
+                sums[i] += 1 if (h >> i) & 1 else -1
+        fp = sum(1 << i for i in range(63) if sums[i] > 0)
+        out.append((int(r.doc_id), fp))
+    return out
+
+
+# --------------------------------------------------------- hyperplane LSH
+
+def _signs(dim: int, num_planes: int, seed: int) -> list[list[int]]:
+    return [
+        [1 if spark_xxhash64(("int", seed), ("int", p), ("int", d)) % 2 == 0 else -1
+         for d in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def _signature(vec, signs) -> int:
+    sig = 0
+    for p, srow in enumerate(signs):
+        comp = 0.0
+        for x, s in zip(vec, srow):  # sequential left fold == F.aggregate
+            comp = comp + (x if s > 0 else -x)
+        if comp > 0.0:
+            sig += 1 << p
+    return sig
+
+
+def _cosine(a, b) -> float:
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ann_lsh_topk_rows(
+    sf_dir: str,
+    k: int = 10,
+    num_planes: int = 12,
+    seed: int = 42,
+    n_queries: int = 5,
+) -> list[tuple]:
+    """(qid, vec_id, cosine, rank) — hyperplane-LSH candidates (exact sig
+    + Hamming-1 multiprobe), exact-cosine rerank
+    (engine: operators/similarity.py::cosine_topk_lsh)."""
+    emb = _load_pandas(sf_dir, "embeddings")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+    dim = len(next(iter(vecs.values())))
+    signs = _signs(dim, num_planes, seed)
+    sig = {vid: _signature(v, signs) for vid, v in vecs.items()}
+    out = []
+    for qid in sorted(vid for vid in vecs if vid < n_queries):
+        probes = {sig[qid]} | {sig[qid] ^ (1 << p) for p in range(num_planes)}
+        cands = [
+            (vid, _round_half_up(_cosine(vecs[vid], vecs[qid]), 4))
+            for vid, s in sig.items()
+            if s in probes
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, cos) in enumerate(cands[:k], start=1):
+            out.append((qid, vid, cos, rank))
+    return out
+
+
+# --------------------------------------------------------- media features
+
+def media_features_rows(n: int = 200) -> list[tuple]:
+    """(media_id, kind, n_bytes, checksum, fake_mean) — recomputes the
+    synthetic_media fixture + deterministic stub features
+    (engine: operators/multimodal.py)."""
+    kinds = ["image", "audio", "video"]
+    out = []
+    for i in range(n):
+        kind = kinds[spark_xxhash64(("long", i)) % 3]
+        pad = spark_xxhash64(("long", i), ("int", 1)) % 64 + 16
+        payload = f"BLOB{i}" + "x" * pad
+        raw = payload.encode("utf-8")
+        nb = len(raw)
+        checksum = sum(raw[:256]) % 65536
+        fake_mean = (sum(raw[:64]) / max(1, min(nb, 64))) if nb else 0.0
+        out.append((i, kind, nb, checksum, float(fake_mean)))
+    return out
+
+
+# ------------------------------------------------------------- SQL emitter
+
+def values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    """Render rows as ``SELECT CAST(...) ... FROM (VALUES ...)`` DuckDB SQL.
+
+    ``cols`` is [(name, duckdb_type)]; floats use ``repr`` (shortest
+    round-trip decimal → parses back to the identical double)."""
+    if not rows:
+        casts = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return f"SELECT {casts} WHERE 1=0"
+
+    def fmt(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
+
+    body = ",\n".join("(" + ", ".join(fmt(v) for v in row) + ")" for row in rows)
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    sel = ", ".join(f"CAST(c{i} AS {t}) AS {n}" for i, (n, t) in enumerate(cols))
+    return f"SELECT {sel} FROM (VALUES\n{body}\n) AS t({names})"
