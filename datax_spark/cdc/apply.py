@@ -41,6 +41,7 @@ def apply_changes(
     error_limits: ErrorLimits | None = None,
     evolve: bool = True,
     transform=None,
+    fence_epoch: str | None = None,
 ) -> dict:
     """Apply one change batch to the lake table. Idempotent per batch_id.
 
@@ -58,7 +59,7 @@ def apply_changes(
     t0 = time.time()
     key = table.key_col
 
-    if batch_id is not None and batch_id <= table.last_batch_id(stream_id):
+    if batch_id is not None and batch_id <= table.last_batch_id(stream_id, fence_epoch):
         return {
             "stream_id": stream_id,
             "batch_id": batch_id,
@@ -89,6 +90,7 @@ def apply_changes(
         new_schema=new_schema,
         post_dedup_transform=transform,
         summary_extra={"schema_changes": changes_applied},
+        fence_epoch=fence_epoch,
     )
     metrics = obs.get
     dirty_count = int(metrics.get("dirty", 0) or 0)

@@ -87,6 +87,22 @@ def run_stream(
     """
     table = LakeTable(spark, table_root).load()
     seen = {"n": 0}
+    # Checkpoint epoch: Spark restarts batch ids at 0 when the checkpoint
+    # is recreated, so the batch-id fence is only valid WITHIN one
+    # checkpoint generation. A uuid marker file inside the checkpoint dir
+    # identifies the generation; a new epoch resets the fence (batches
+    # re-apply, LWW-convergent) instead of silently skipping new data.
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    epoch_path = os.path.join(checkpoint_dir, "datax-epoch.txt")
+    if os.path.exists(epoch_path):
+        with open(epoch_path) as f:
+            fence_epoch = f.read().strip()
+    else:
+        import uuid
+
+        fence_epoch = uuid.uuid4().hex
+        with open(epoch_path, "w") as f:
+            f.write(fence_epoch)
 
     def handle(batch_df: DataFrame, batch_id: int):
         metrics = apply_changes(
@@ -97,6 +113,7 @@ def run_stream(
             quarantine_dir=quarantine_dir,
             error_limits=error_limits,
             transform=transform,
+            fence_epoch=fence_epoch,
         )
         write_metrics(table_root, metrics)
         seen["n"] += 1

@@ -14,19 +14,65 @@ whole stream per key.
 Note the MERGE itself stays idempotent without this (the stale guard in
 ``lake/merge.py``); the stateful filter is an optimization that turns
 redundant deliveries into state lookups instead of merge work. State
-size is O(live keys) × ~24 bytes; with GroupStateTimeout it can be
+size is O(live keys) × ~16 bytes; with GroupStateTimeout it can be
 bounded to recently-active keys.
+
+The per-batch kernel is numpy-vectorized (no per-row Python): events
+sort by lsn (binlog replay order), timestamps become int64 nanoseconds
+(pandas NaT maps to INT64_MIN, so null-ts events lose deterministically
+against any real timestamp instead of crashing — they can only advance
+a key that has never seen a real ts), and the advancing subset falls
+out of a prefix-max over the ts array. Because lsn is strictly
+increasing within the sorted batch, a row advances iff its ts strictly
+exceeds the running max, OR ties it where the max was already achieved
+by an earlier batch row (its lsn is then automatically higher), OR ties
+a state-only max with a higher lsn than the state's.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "max_ts double, max_lsn long"
+# int64 epoch-nanos + lsn — exact (no float truncation of microseconds)
+STATE_SCHEMA = "max_ts_ns long, max_lsn long"
+
+_TS_MIN = np.iinfo(np.int64).min  # == pandas NaT's int64 value
+
+
+def _advance_kernel(
+    pdf: pd.DataFrame, state_ts: int, state_lsn: int
+) -> tuple[np.ndarray, int, int]:
+    """Vectorized LWW advance over one key-group batch.
+
+    Returns (keep_mask over the lsn-sorted frame, new_state_ts_ns,
+    new_state_lsn). ``pdf`` must already be sorted by lsn ascending.
+    """
+    ts = pdf["warc_ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+    lsn = pdf["lsn"].to_numpy(dtype=np.int64)
+    # running max of ts over [state] + rows[:i]  (i.e. BEFORE row i)
+    prev = np.maximum.accumulate(np.concatenate(([state_ts], ts)))[:-1]
+    strictly = ts > prev
+    ties = ts == prev
+    # On a ts tie with the running max: if the max ts differs from the
+    # state's, it was achieved by an earlier batch row whose lsn is
+    # necessarily smaller (lsn-sorted) → advance. If it equals the
+    # state's ts, the binding lsn is the state's (any earlier batch row
+    # at that ts has a smaller lsn than ours) → need lsn > state_lsn.
+    keep = strictly | (ties & ((prev != state_ts) | (lsn > state_lsn)))
+    if keep.any():
+        new_ts = int(max(state_ts, ts.max()))
+        cand = lsn[ts == new_ts]
+        new_lsn = int(cand.max()) if cand.size else state_lsn
+        if new_ts == state_ts:
+            new_lsn = max(new_lsn, state_lsn)
+    else:
+        new_ts, new_lsn = state_ts, state_lsn
+    return keep, new_ts, new_lsn
 
 
 def _advance(
@@ -37,18 +83,15 @@ def _advance(
     if state.exists:
         max_ts, max_lsn = state.get
     else:
-        max_ts, max_lsn = float("-inf"), -1
-    out = []
+        max_ts, max_lsn = _TS_MIN, -1
     for pdf in pdfs:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values("lsn")  # binlog replay order
-        ts_vals = pdf["warc_ts"].map(lambda t: t.timestamp())
-        for row, ts in zip(pdf.itertuples(index=False), ts_vals):
-            if (ts, row.lsn) > (max_ts, max_lsn):
-                max_ts, max_lsn = ts, row.lsn
-                out.append(row)
-    state.update((max_ts, max_lsn))
-    if out:
-        yield pd.DataFrame(out)
+        keep, max_ts, max_lsn = _advance_kernel(pdf, max_ts, max_lsn)
+        if keep.any():
+            yield pdf[keep]
+    state.update((int(max_ts), int(max_lsn)))
 
 
 def lww_advance_filter(
@@ -73,13 +116,8 @@ def lww_advance_filter(
         )
 
     def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("lsn")  # binlog replay order
-        keep, max_key = [], (float("-inf"), -1)
-        for i, row in enumerate(pdf.itertuples(index=False)):
-            k = (row.warc_ts.timestamp(), row.lsn)
-            if k > max_key:
-                max_key = k
-                keep.append(i)
-        return pdf.iloc[keep]
+        pdf = pdf.sort_values("lsn")
+        keep, _, _ = _advance_kernel(pdf, _TS_MIN, -1)
+        return pdf[keep]
 
     return changes.groupBy(key_col).applyInPandas(batch_fn, schema)

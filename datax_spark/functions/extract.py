@@ -81,16 +81,14 @@ def with_extracted_text(df, html_col: str = "html", out_col: str = "text"):
 
 # -------------------------------------------------------------- enrichment
 
-_LANG_ORDER = ["en", "de", "fr", "es"]
-_WORD2LANG: dict[str, str] = {}
-for _lg, _ws in {
-    "en": "the and of to in is that it for was",
-    "de": "der die das und ist nicht ein mit von zu",
-    "fr": "le la les et est une des dans pour que",
-    "es": "el la los las y es una del para por",
-}.items():
-    for _w in _ws.split():
-        _WORD2LANG.setdefault(_w, _lg)
+# Single source of truth for the lang-id lexicons: functions/text.py's
+# STOPWORDS (the JVM lang_id expression uses the same table). Hit
+# semantics match text.lang_id exactly: a token scores every language
+# whose lexicon contains it; ties break by fixed order en,de,fr,es,zh.
+from datax_spark.functions.text import STOPWORDS as _STOPWORDS
+
+_LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+_LANG_SETS = {lg: frozenset(_STOPWORDS[lg]) for lg in _LANG_ORDER}
 
 _NON_ALPHA_RE = re.compile(r"[^A-Za-zÀ-ÿ]+")
 
@@ -111,9 +109,9 @@ def _enrich_one(raw: bytes | None):
     n_tok = len(toks)
     hits = {lg: 0 for lg in _LANG_ORDER}
     for w in toks:
-        lg = _WORD2LANG.get(w)
-        if lg is not None:
-            hits[lg] += 1
+        for lg in _LANG_ORDER:
+            if w in _LANG_SETS[lg]:
+                hits[lg] += 1
     best = max(_LANG_ORDER, key=lambda lg: (hits[lg], -_LANG_ORDER.index(lg)))
     lang = best if hits[best] > 0 else "und"
     n_alpha = len(_NON_ALPHA_RE.sub("", text))

@@ -59,10 +59,9 @@ def punct_ratio(col) -> Column:
 
 
 def stopword_ratio(col, lang: str = "en") -> Column:
+    """Per-token stopword hit ratio (duplicates counted)."""
     words = F.split(F.lower(normalize_ws(col)), r"\s+")
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.array_intersect(words, sw))  # distinct-hit variant
-    # per-token hit ratio via filter (keeps duplicates)
     dup_hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
     return F.when(F.size(words) > 0, dup_hits / F.size(words)).otherwise(F.lit(0.0))
 

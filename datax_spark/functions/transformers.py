@@ -64,43 +64,70 @@ def dx_replace(col, start: int, length: int, replace_str: str) -> Column:
 _FILTER_OPS = {">", "<", "=", "!=", ">=", "<="}
 
 
-def dx_filter_cond(col, op: str, value) -> Column:
+def _filter_operands(col, value, data_type):
+    """(target, lit) with the reference's TYPE-dispatched compare mode
+    (``FilterTransformer.java:78-127``): Double column → double compare,
+    Long/Date column → long compare (``Long.parseLong`` — a non-integer
+    filter value raises, as in the reference), everything else (string/
+    bytes/bool) → lexicographic STRING compare even for numeric-looking
+    values. ``data_type=None`` falls back to a value-parse heuristic for
+    direct Column calls that carry no schema."""
+    from pyspark.sql import types as T
+
+    if data_type is not None:
+        if isinstance(data_type, (T.DoubleType, T.FloatType, T.DecimalType)):
+            return col.cast("double"), F.lit(float(value))
+        if isinstance(data_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return col.cast("long"), F.lit(int(str(value)))
+        if isinstance(data_type, (T.DateType, T.TimestampType)):
+            # DateColumn.asLong is epoch MILLIS in the reference
+            return F.unix_millis(col.cast("timestamp")), F.lit(int(str(value)))
+        return col.cast("string"), F.lit(str(value))
+    try:
+        return col.cast("double"), F.lit(float(value))
+    except (TypeError, ValueError):
+        return col.cast("string"), F.lit(value)
+
+
+def dx_filter_cond(col, op: str, value, data_type=None) -> Column:
     """The MATCH condition (a matching row is DROPPED by the chain).
 
-    Numeric compare when value parses numeric, string compare otherwise;
-    'like' is a full-match regex. Null semantics per the reference:
-    null matches '=' against the literal "null", never matches like/>/<.
+    Null semantics per the reference (``FilterTransformer.java``):
+    - ``>``/``<``/``>=``/``<=``: null never matches (row kept, :75,:135)
+    - ``=``: null matches only the literal value "null" (:206-212)
+    - ``!=``: null MATCHES (dropped) unless value is "null" (:256-262)
+    - ``like``: null never matches (:296)
+    - ``not like``: null MATCHES — the reference drops null rows (:305-308)
     """
     if op == "like":
         return col.cast("string").rlike(f"^(?:{value})$")
     if op == "not like":
-        return ~col.cast("string").rlike(f"^(?:{value})$") & col.isNotNull()
+        return col.isNull() | ~col.cast("string").rlike(f"^(?:{value})$")
     if op not in _FILTER_OPS:
         raise ValueError(f"dx_filter: unknown op {op!r}")
-    try:
-        num = float(value)
-        target = col.cast("double")
-        lit = F.lit(num)
-    except (TypeError, ValueError):
-        target = col.cast("string")
-        lit = F.lit(value)
+    target, lit = _filter_operands(col, value, data_type)
     if op == "=":
         base = target == lit
-        if str(value) == "null":
+        if str(value).lower() == "null":
             return col.isNull() | base
         return base
+    if op == "!=":
+        base = target != lit
+        if str(value).lower() == "null":
+            return base  # null → NULL → kept
+        return col.isNull() | base  # null rows are dropped by '!='
     return {
         ">": target > lit,
         "<": target < lit,
-        "!=": target != lit,
         ">=": target >= lit,
         "<=": target <= lit,
     }[op]
 
 
 def dx_filter(df: DataFrame, column: str, op: str, value) -> DataFrame:
-    """Apply the filter transformer: matching rows are dropped."""
-    cond = dx_filter_cond(F.col(column), op, value)
+    """Apply the filter transformer: matching rows are dropped. Compare
+    mode dispatches on the column's schema type, as the reference does."""
+    cond = dx_filter_cond(F.col(column), op, value, data_type=df.schema[column].dataType)
     return df.filter(~F.coalesce(cond, F.lit(False)))
 
 

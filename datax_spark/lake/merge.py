@@ -104,6 +104,7 @@ def merge_into(
     summary_extra: dict | None = None,
     new_schema=None,
     post_dedup_transform=None,
+    fence_epoch: str | None = None,
 ) -> dict:
     """Apply a batch of change events to ``table``; returns the snapshot.
 
@@ -151,7 +152,7 @@ def merge_into(
         c.unpersist()
         return table.commit([], set(), operation="merge", stream_id=stream_id,
                             batch_id=batch_id, summary_extra=summary_extra,
-                            new_schema=new_schema)
+                            new_schema=new_schema, fence_epoch=fence_epoch)
 
     # align the change payload to the (possibly evolved) table user schema
     tmap = {f.name: f for f in tschema.fields}
@@ -243,4 +244,5 @@ def merge_into(
         batch_id=batch_id,
         summary_extra=extra,
         new_schema=new_schema,
+        fence_epoch=fence_epoch,
     )

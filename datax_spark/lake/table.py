@@ -80,6 +80,18 @@ def _parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _parquet_deleted_count(path: str) -> int:
+    """Count tombstone rows in a data file (RLE bool column — cheap read)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    try:
+        col = pq.read_table(path, columns=[DELETED_COL])[DELETED_COL]
+    except KeyError:
+        return 0
+    return int(pc.sum(col.cast("int64")).as_py() or 0)
+
+
 class LakeTable:
     """Handle on a lake table. Cheap to construct; metadata loaded lazily."""
 
@@ -208,9 +220,28 @@ class LakeTable:
         with open(os.path.join(self.root, snap["manifest"])) as f:
             return json.load(f)
 
-    def last_batch_id(self, stream_id: str) -> int:
-        """Batch-id high-water mark for exactly-once fencing."""
-        return int(self._require_meta()["batch_fence"].get(stream_id, -1))
+    def last_batch_id(self, stream_id: str, epoch: str | None = None) -> int:
+        """Batch-id high-water mark for exactly-once fencing.
+
+        ``epoch`` identifies the checkpoint generation (Spark restarts
+        batch ids at 0 when a checkpoint is recreated): a fence recorded
+        under a DIFFERENT epoch does not apply — the mark resets to -1
+        (with a loud warning) so genuinely new data is never silently
+        skipped; convergence is then the LWW stale guard's job.
+        ``epoch=None`` matches any recorded epoch (legacy callers)."""
+        rec = self._require_meta()["batch_fence"].get(stream_id, -1)
+        if isinstance(rec, dict):
+            if epoch is not None and rec.get("epoch") != epoch:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "stream %s: checkpoint epoch changed (%s -> %s); batch-id "
+                    "fence RESET — all batches will re-apply (LWW-convergent)",
+                    stream_id, rec.get("epoch"), epoch,
+                )
+                return -1
+            return int(rec["batch_id"])
+        return int(rec)
 
     # ---------------------------------------------------------------- read
     def read(
@@ -231,7 +262,12 @@ class LakeTable:
         m = self._require_meta()
         snap = None
         if snapshot_id is not None:
-            snap = next(s for s in m["snapshots"] if s["snapshot_id"] == snapshot_id)
+            snap = next((s for s in m["snapshots"] if s["snapshot_id"] == snapshot_id), None)
+            if snap is None:
+                raise KeyError(
+                    f"snapshot {snapshot_id} not found (expired or never existed); "
+                    f"retained: {[s['snapshot_id'] for s in m['snapshots']]}"
+                )
         entries = self.manifest(snap)
         if buckets is not None:
             bset = set(buckets)
@@ -300,6 +336,7 @@ class LakeTable:
                         "path": os.path.relpath(p, self.root),
                         "bucket": bucket,
                         "records": _parquet_row_count(p),
+                        "deleted": _parquet_deleted_count(p),
                         "schema_id": ts.schema_id,
                     }
                 )
@@ -314,6 +351,7 @@ class LakeTable:
         batch_id: int | None = None,
         summary_extra: dict | None = None,
         new_schema: TableSchema | None = None,
+        fence_epoch: str | None = None,
     ) -> dict:
         """Atomically commit a snapshot.
 
@@ -338,12 +376,16 @@ class LakeTable:
         snap_id = m["current_snapshot_id"] + 1
         manifest_rel = os.path.join("metadata", f"manifest-{snap_id}.json")
         _atomic_write_json(os.path.join(self.root, manifest_rel), manifest)
-        live = sum(e["records"] for e in manifest)
+        total = sum(e["records"] for e in manifest)
+        # live excludes tombstones (files written before the "deleted"
+        # stat existed count as all-live — a documented legacy upper bound)
+        live = total - sum(e.get("deleted", 0) for e in manifest)
         summary = {
             "operation": operation,
             "added_files": len(new_entries),
             "replaced_buckets": sorted(replaced),
             "total_files": len(manifest),
+            "total_rows": total,
             "live_rows": live,
         }
         if batch_id is not None:
@@ -366,7 +408,11 @@ class LakeTable:
             new_meta["current_schema_id"] = new_schema.schema_id
         if batch_id is not None:
             fence = dict(m["batch_fence"])
-            fence[stream_id or "default"] = int(batch_id)
+            sid = stream_id or "default"
+            if fence_epoch is not None:
+                fence[sid] = {"epoch": fence_epoch, "batch_id": int(batch_id)}
+            else:
+                fence[sid] = int(batch_id)
             new_meta["batch_fence"] = fence
         v = self._loaded_version + 1
         _atomic_write_json(self._version_path(v), new_meta)
@@ -411,9 +457,43 @@ class LakeTable:
         entries = self.write_data_files(df, self.schema())
         return self.commit(entries, replaced_buckets=victims, operation="compact")
 
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the current snapshot."""
-        live = {e["path"] for e in self.manifest()}
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop all but the newest ``keep_last`` snapshots from metadata
+        (and their manifest files). Time travel to an expired snapshot
+        fails at metadata resolution — never with missing data files —
+        because ``vacuum`` only deletes files unreferenced by every
+        RETAINED snapshot (the Iceberg expire_snapshots contract)."""
+        m = self._require_meta()
+        keep_last = max(1, keep_last)
+        snaps = m["snapshots"]
+        if len(snaps) <= keep_last:
+            return 0
+        expired, kept = snaps[:-keep_last], snaps[-keep_last:]
+        new_meta = dict(m)
+        new_meta["snapshots"] = kept
+        v = self._loaded_version + 1
+        _atomic_write_json(self._version_path(v), new_meta)
+        _atomic_write_json(os.path.join(self._meta_dir, "version-hint.text"), v)
+        self.meta = new_meta
+        self._loaded_version = v
+        for s in expired:
+            mf = os.path.join(self.root, s["manifest"])
+            if os.path.exists(mf) and not any(k["manifest"] == s["manifest"] for k in kept):
+                os.remove(mf)
+        return len(expired)
+
+    def vacuum(self, expire_keep_last: int | None = 1) -> int:
+        """Delete data files not referenced by ANY retained snapshot.
+
+        By default expires history down to the current snapshot first
+        (``expire_keep_last=1``); pass a larger value to retain time
+        travel, or ``None`` to only remove files no snapshot references.
+        """
+        if expire_keep_last is not None:
+            self.expire_snapshots(expire_keep_last)
+        live: set[str] = set()
+        for snap in self._require_meta()["snapshots"]:
+            live.update(e["path"] for e in self.manifest(snap))
         removed = 0
         for p in glob.glob(os.path.join(self._data_dir, "w-*", "*", "*.parquet")):
             rel = os.path.relpath(p, self.root)
