@@ -42,6 +42,7 @@ def apply_changes(
     evolve: bool = True,
     transform=None,
     fence_epoch: str | None = None,
+    merge_mode: str = "cow",
 ) -> dict:
     """Apply one change batch to the lake table. Idempotent per batch_id.
 
@@ -91,6 +92,7 @@ def apply_changes(
         post_dedup_transform=transform,
         summary_extra={"schema_changes": changes_applied},
         fence_epoch=fence_epoch,
+        merge_mode=merge_mode,
     )
     metrics = obs.get
     dirty_count = int(metrics.get("dirty", 0) or 0)

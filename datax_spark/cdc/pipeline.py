@@ -76,6 +76,8 @@ def run_stream(
     timeout_sec: float | None = None,
     stop_after_batches: int | None = None,
     transform=None,
+    merge_mode: str = "cow",
+    compact_every: int | None = None,
 ):
     """Tail parquet change files in ``source_dir`` into the lake table.
 
@@ -84,6 +86,11 @@ def run_stream(
     time-window bounded tail (``RecordProcessor.java:152-185``).
     ``stop_after_batches`` force-kills the query mid-stream for the
     resume-from-checkpoint tests.
+
+    ``merge_mode="mor"`` appends delta files per batch instead of
+    rewriting buckets (trickle-batch fast path); ``compact_every=N``
+    folds deltas into base files every N batches so read amplification
+    stays bounded (the background-compaction trigger).
     """
     table = LakeTable(spark, table_root).load()
     seen = {"n": 0}
@@ -114,9 +121,18 @@ def run_stream(
             error_limits=error_limits,
             transform=transform,
             fence_epoch=fence_epoch,
+            merge_mode=merge_mode,
         )
         write_metrics(table_root, metrics)
         seen["n"] += 1
+        if (
+            compact_every
+            and not metrics.get("skipped")
+            and seen["n"] % compact_every == 0
+        ):
+            snap = table.load().compact_buckets(min_files_per_bucket=2)
+            if snap is not None:
+                metrics["compacted_snapshot"] = snap["snapshot_id"]
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

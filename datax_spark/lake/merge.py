@@ -105,6 +105,7 @@ def merge_into(
     new_schema=None,
     post_dedup_transform=None,
     fence_epoch: str | None = None,
+    merge_mode: str = "cow",
 ) -> dict:
     """Apply a batch of change events to ``table``; returns the snapshot.
 
@@ -116,6 +117,17 @@ def merge_into(
     placement for expensive per-row work like html→text extraction: cost
     scales with unique keys per batch, not raw events (a hot key updated
     10^6 times in a batch is extracted once).
+
+    ``merge_mode``:
+    - ``cow`` (copy-on-write): touched buckets are read, merged, and
+      rewritten — reads stay collapse-free, writes cost ∝ bucket size.
+      Right for backfills and low-frequency large batches.
+    - ``mor`` (merge-on-read): the deduped batch is appended as DELTA
+      files only — no target read, no bucket rewrite; ``table.read()``
+      collapses versions by (ts, lsn) and ``compact_buckets`` folds
+      deltas back into base files. Right for trickle batches, where CoW
+      would rewrite whole buckets for a handful of keys. Both modes
+      produce byte-identical table state (same LWW ordering).
     """
     key = table.key_col
     nb = table.num_buckets
@@ -169,6 +181,41 @@ def merge_into(
         *aligned_cols,
     )
 
+    if merge_mode == "mor":
+        # append-only delta write: one bucket-partitioned file set, no
+        # target scan, no bucket rewrite. Stale/duplicate versions simply
+        # lose at read-time collapse, so no stale guard is needed here.
+        delta = c_aligned.select(
+            *[
+                (
+                    F.col("_clsn").alias(LSN_COL)
+                    if f.name == LSN_COL
+                    else (F.col("_cop") == F.lit("D")).alias(DELETED_COL)
+                    if f.name == DELETED_COL
+                    else F.col(f.name)
+                )
+                for f in tschema.fields
+            ]
+        )
+        entries = table.write_data_files(delta, tschema, kind="delta")
+        c.unpersist()
+        extra = {"lineage": lineage, "batch_rows": batch_rows, "merge_strategy": "mor-delta"}
+        extra.update(summary_extra or {})
+        return table.commit(
+            entries,
+            replaced_buckets=set(),
+            operation="merge",
+            stream_id=stream_id,
+            batch_id=batch_id,
+            summary_extra=extra,
+            new_schema=new_schema,
+            fence_epoch=fence_epoch,
+            # pin the read-time collapse ordering column on first use
+            properties_update={"lww_ts_col": ts_col},
+        )
+    if merge_mode != "cow":
+        raise ValueError(f"unknown merge_mode {merge_mode!r} (cow|mor)")
+
     use_broadcast = 0 < batch_rows <= broadcast_threshold_rows
     c_side = F.broadcast(c_aligned) if use_broadcast else c_aligned
 
@@ -185,10 +232,16 @@ def merge_into(
     t_pref = target.select(*[F.col(cn).alias(f"_t_{cn}") for cn in target.columns])
     joined = t_pref.join(c_side, t_pref[f"_t_{key}"] == c_side[key], "left")
 
+    # LWW ordering identical to the MoR read-time collapse (struct max
+    # with null ts lowest): a null-ts change loses to any real target ts;
+    # a null-ts target loses to any real change ts; both null → lsn.
     c_newer = F.col(key).isNotNull() & (
         (F.col("_cts") > F.col(f"_t_{ts_col}"))
         | ((F.col("_cts") == F.col(f"_t_{ts_col}")) & (F.col("_clsn") > F.col(f"_t_{LSN_COL}")))
-        | F.col(f"_t_{ts_col}").isNull()
+        | (
+            F.col(f"_t_{ts_col}").isNull()
+            & (F.col("_cts").isNotNull() | (F.col("_clsn") > F.col(f"_t_{LSN_COL}")))
+        )
     )
 
     def pick(name: str):

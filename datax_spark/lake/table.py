@@ -295,6 +295,27 @@ class LakeTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
+        # merge-on-read: buckets holding delta files carry multiple
+        # versions (+tombstones) per key — collapse to the LWW winner by
+        # (lww_ts_col, _lsn) with the same hash-aggregate shape as
+        # lww_dedup (map-side partial combine; shuffle ∝ unique keys).
+        # Null ts sorts lowest in the struct ordering, so null-ts
+        # versions lose to any real timestamp.
+        if entries and any(e.get("kind") == "delta" for e in entries):
+            key = m["key_col"]
+            ts_col = m["properties"].get("lww_ts_col", "warc_ts")
+            ordered = [ts_col, LSN_COL] + [
+                c for c in cur_names if c not in (key, ts_col, LSN_COL)
+            ]
+            packed = df.groupBy(key).agg(
+                F.max(F.struct(*[F.col(c) for c in ordered])).alias("_w")
+            )
+            df = packed.select(
+                *[
+                    (F.col(key) if c == key else F.col(f"_w.{c}").alias(c))
+                    for c in cur_names
+                ]
+            )
         if not include_deleted:
             df = df.filter(~F.col(DELETED_COL))
         if not include_system:
@@ -302,15 +323,26 @@ class LakeTable:
         return df
 
     def row_count(self) -> int:
+        """Live rows. Manifest math when every file is a base file; with
+        merge-on-read deltas the same key may appear in several files, so
+        the exact count requires a collapse scan."""
         snap = self.current_snapshot()
-        return 0 if snap is None else int(snap["summary"].get("live_rows", 0))
+        if snap is None:
+            return 0
+        if any(e.get("kind") == "delta" for e in self.manifest(snap)):
+            return self.read().count()
+        return int(snap["summary"].get("live_rows", 0))
 
     # --------------------------------------------------------------- write
-    def write_data_files(self, df: DataFrame, schema) -> list[dict]:
+    def write_data_files(self, df: DataFrame, schema, kind: str = "base") -> list[dict]:
         """Write a dataframe as bucket-partitioned data files; return manifest
         entries. ``schema`` is the TableSchema the files are written under
         (may be a not-yet-committed evolved schema); ``df`` must already
         carry all of its columns (system columns included).
+
+        ``kind`` tags the manifest entries: ``base`` rows are unique per
+        key; ``delta`` files (merge-on-read) may carry multiple versions
+        of a key and tombstones, collapsed at read time by LWW.
 
         ``repartition(BUCKET_COL)`` before ``partitionBy`` keeps each bucket's
         rows in one task → one file per bucket per write (no small-file
@@ -338,6 +370,7 @@ class LakeTable:
                         "records": _parquet_row_count(p),
                         "deleted": _parquet_deleted_count(p),
                         "schema_id": ts.schema_id,
+                        "kind": kind,
                     }
                 )
         return entries
@@ -352,6 +385,7 @@ class LakeTable:
         summary_extra: dict | None = None,
         new_schema: TableSchema | None = None,
         fence_epoch: str | None = None,
+        properties_update: dict | None = None,
     ) -> dict:
         """Atomically commit a snapshot.
 
@@ -403,6 +437,16 @@ class LakeTable:
         new_meta = dict(m)
         new_meta["snapshots"] = m["snapshots"] + [snap]
         new_meta["current_snapshot_id"] = snap_id
+        if properties_update:
+            props = dict(m["properties"])
+            for k, v in properties_update.items():
+                if k in props and props[k] != v:
+                    raise ValueError(
+                        f"table property {k!r} already pinned to {props[k]!r}; "
+                        f"cannot change to {v!r}"
+                    )
+                props[k] = v
+            new_meta["properties"] = props
         if new_schema is not None:
             new_meta["schemas"] = m["schemas"] + [new_schema.to_json()]
             new_meta["current_schema_id"] = new_schema.schema_id

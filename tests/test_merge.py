@@ -67,11 +67,12 @@ def test_lww_dedup_picks_newest(spark):
     assert out["k2"] == ("D", 4)
 
 
+@pytest.mark.parametrize("mode", ["cow", "mor"])
 @pytest.mark.parametrize("batching", [[1], [2, 3], [5, 1, 4, 7]])
-def test_replay_convergence_any_batching(spark, tmp_path, batching):
+def test_replay_convergence_any_batching(spark, tmp_path, batching, mode):
     ch = changes_df(spark, 4000, n_keys=600, partitions=8).cache()
     expected = _expected_final(spark, ch)
-    root = str(tmp_path / f"t{len(batching)}")
+    root = str(tmp_path / f"t{len(batching)}_{mode}")
     t = _table(spark, root)
     total = sum(batching)
     bounds = [0]
@@ -81,54 +82,58 @@ def test_replay_convergence_any_batching(spark, tmp_path, batching):
         batch = ch.filter(
             (F.col("lsn") % total >= lo) & (F.col("lsn") % total < hi)
         )
-        merge_into(t, batch, batch_id=i)
+        merge_into(t, batch, batch_id=i, merge_mode=mode)
     _assert_same(_state(t), expected)
 
 
-def test_exact_replay_is_noop(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_exact_replay_is_noop(spark, tmp_path, mode):
     ch = changes_df(spark, 2000, n_keys=300, partitions=4).cache()
     t = _table(spark, str(tmp_path / "t"))
-    merge_into(t, ch)
+    merge_into(t, ch, merge_mode=mode)
     before = _state(t).collect()
-    merge_into(t, ch)  # full duplicate delivery, no fence — LWW guard absorbs
+    merge_into(t, ch, merge_mode=mode)  # full duplicate delivery, no fence — LWW guard absorbs
     after = _state(t).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
 
 
-def test_stale_update_cross_batch_noop(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_stale_update_cross_batch_noop(spark, tmp_path, mode):
     t = _table(spark, str(tmp_path / "t"))
     mk = lambda rows: spark.createDataFrame(
         rows, "lsn long, op string, url string, warc_ts string, lang string"
     ).withColumn("warc_ts", F.to_timestamp("warc_ts")).withColumn(
         "html", F.encode(F.coalesce(F.col("lang"), F.lit("")), "UTF-8")
     )
-    merge_into(t, mk([(10, "I", "k", "2024-01-01 00:10:00", "new")]))
+    merge_into(t, mk([(10, "I", "k", "2024-01-01 00:10:00", "new")]), merge_mode=mode)
     # older event arrives later (late replay of an earlier batch)
-    merge_into(t, mk([(5, "U", "k", "2024-01-01 00:05:00", "old")]))
+    merge_into(t, mk([(5, "U", "k", "2024-01-01 00:05:00", "old")]), merge_mode=mode)
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0]["lang"] == "new"
 
 
-def test_delete_then_stale_update_stays_dead(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_delete_then_stale_update_stays_dead(spark, tmp_path, mode):
     t = _table(spark, str(tmp_path / "t"))
     mk = lambda rows: spark.createDataFrame(
         rows, "lsn long, op string, url string, warc_ts string, lang string"
     ).withColumn("warc_ts", F.to_timestamp("warc_ts")).withColumn(
         "html", F.lit(None).cast("binary")
     )
-    merge_into(t, mk([(1, "I", "k", "2024-01-01 00:01:00", "v1")]))
-    merge_into(t, mk([(9, "D", "k", "2024-01-01 00:09:00", None)]))
+    merge_into(t, mk([(1, "I", "k", "2024-01-01 00:01:00", "v1")]), merge_mode=mode)
+    merge_into(t, mk([(9, "D", "k", "2024-01-01 00:09:00", None)]), merge_mode=mode)
     assert t.read().count() == 0
     # out-of-order older update must NOT resurrect the deleted key
-    merge_into(t, mk([(5, "U", "k", "2024-01-01 00:05:00", "zombie")]))
+    merge_into(t, mk([(5, "U", "k", "2024-01-01 00:05:00", "zombie")]), merge_mode=mode)
     assert t.read().count() == 0
     # but a genuinely newer insert revives it
-    merge_into(t, mk([(12, "I", "k", "2024-01-01 00:12:00", "reborn")]))
+    merge_into(t, mk([(12, "I", "k", "2024-01-01 00:12:00", "reborn")]), merge_mode=mode)
     rows = t.read().collect()
     assert len(rows) == 1 and rows[0]["lang"] == "reborn"
 
 
-def test_update_then_delete_single_batch(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_update_then_delete_single_batch(spark, tmp_path, mode):
     t = _table(spark, str(tmp_path / "t"))
     df = spark.createDataFrame(
         [
@@ -141,7 +146,7 @@ def test_update_then_delete_single_batch(spark, tmp_path):
         ],
         "lsn long, op string, url string, warc_ts string, lang string",
     ).withColumn("warc_ts", F.to_timestamp("warc_ts")).withColumn("html", F.lit(None).cast("binary"))
-    merge_into(t, df)
+    merge_into(t, df, merge_mode=mode)
     out = {r["url"]: r["lang"] for r in t.read().collect()}
     assert out == {"j": "y"}
 
@@ -174,3 +179,53 @@ def test_broadcast_and_shuffle_paths_agree(spark, tmp_path):
     merge_into(t1, ch)  # broadcast fast path (default threshold)
     merge_into(t2, ch, broadcast_threshold_rows=0)  # force shuffle path
     _assert_same(_state(t1), _state(t2))
+
+
+def test_mor_writes_deltas_only_and_compaction_folds(spark, tmp_path):
+    from datax_spark.lake.merge import bulk_load
+
+    t = _table(spark, str(tmp_path / "t"))
+    base = spark.range(400).select(
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200)).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.lit("en").alias("lang"),
+    )
+    bulk_load(t, base)
+    files_before = len(t.manifest())
+    one = spark.createDataFrame(
+        [(99, "U", "https://x/7", "2024-06-01 00:00:00", "de")],
+        "lsn long, op string, url string, warc_ts string, lang string",
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts")).withColumn("html", F.lit(None).cast("binary"))
+    snap = merge_into(t, one, merge_mode="mor")
+    # delta append: nothing replaced, exactly one new (delta) file
+    assert snap["summary"]["replaced_buckets"] == []
+    assert snap["summary"]["merge_strategy"] == "mor-delta"
+    manifest = t.manifest()
+    deltas = [e for e in manifest if e.get("kind") == "delta"]
+    assert len(deltas) == 1 and len(manifest) == files_before + 1
+    # read-time collapse: updated value visible, no duplicate key
+    assert t.read().filter("url='https://x/7'").first()["lang"] == "de"
+    assert t.read().count() == 400
+    assert t.row_count() == 400  # exact path (delta present)
+    # compaction folds the delta back into base files
+    t.compact_buckets(min_files_per_bucket=2)
+    assert all(e.get("kind") != "delta" for e in t.manifest())
+    assert t.read().filter("url='https://x/7'").first()["lang"] == "de"
+    assert t.read().count() == 400
+
+
+def test_mor_and_cow_byte_identical(spark, tmp_path):
+    ch = changes_df(spark, 3000, n_keys=500, partitions=4).cache()
+    t_cow = _table(spark, str(tmp_path / "cow"))
+    t_mor = _table(spark, str(tmp_path / "mor"))
+    bounds = [0, 1, 3, 6]
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        batch = ch.filter((F.col("lsn") % 6 >= lo) & (F.col("lsn") % 6 < hi))
+        merge_into(t_cow, batch, batch_id=i, merge_mode="cow")
+        merge_into(t_mor, batch, batch_id=i, merge_mode="mor")
+    _assert_same(_state(t_cow), _state(t_mor))
+    # and after compaction the MoR table still matches
+    t_mor.compact_buckets(min_files_per_bucket=2)
+    _assert_same(_state(t_cow), _state(t_mor))
+    _assert_same(_state(t_mor), _expected_final(spark, ch))

@@ -67,3 +67,33 @@ def test_widen_int_to_bigint_in_place(spark, tmp_path):
     assert vals[f"https://k/1"] == 7 and vals[f"https://k/2"] == 2**40
     # old files (written as int) read correctly under the widened schema
     assert dict(t.read().dtypes)["n"] == "bigint"
+
+
+def test_schema_evolution_under_mor(spark, tmp_path):
+    """A widened/extended change batch applied as MoR deltas: old base
+    files read under their own schema, deltas under the evolved one,
+    aligned + collapsed at scan time."""
+    from datax_spark.cdc.apply import apply_changes
+    from datax_spark.lake.table import LakeTable
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, key_col="url", num_buckets=4)
+    mk = lambda rows, ddl: spark.createDataFrame(rows, ddl).withColumn(
+        "warc_ts", F.to_timestamp("warc_ts")
+    )
+    apply_changes(t, mk([(1, "I", "a", "2024-01-01 00:01:00", "en")],
+                        "lsn long, op string, url string, warc_ts string, lang string"),
+                  batch_id=0, ts_col="warc_ts", merge_mode="mor")
+    # batch 2 adds a column → schema evolves inside a MoR delta commit
+    apply_changes(t, mk([(2, "I", "b", "2024-01-01 00:02:00", "de", 200)],
+                        "lsn long, op string, url string, warc_ts string, lang string, fetch_status long"),
+                  batch_id=1, ts_col="warc_ts", merge_mode="mor")
+    rows = {r["url"]: (r["lang"], r["fetch_status"]) for r in t.read().collect()}
+    assert rows == {"a": ("en", None), "b": ("de", 200)}

@@ -73,3 +73,24 @@ def test_stream_kill_resume_fence(spark, tmp_path):
     # lineage metrics carry per-bucket LSN ranges
     lineages = [m["lineage"] for m in read_metrics(root) if m.get("lineage")]
     assert lineages and all("lsn_min" in v for lin in lineages for v in lin.values())
+
+
+def test_stream_mor_with_periodic_compaction(spark, tmp_path):
+    """MoR trickle path end-to-end: every micro-batch appends deltas only,
+    compaction folds them every 2 batches, final state matches the oracle."""
+    base = str(tmp_path)
+    src, root, ckpt = f"{base}/src", f"{base}/table", f"{base}/ckpt"
+    ch = changes_df(spark, 6000, n_keys=900, partitions=8).cache()
+    _write_change_files(spark, ch, src, 4, base)
+
+    schema = T.StructType([f for f in CHANGE_SCHEMA.fields if f.name not in ("lsn", "op")])
+    LakeTable.create(spark, root, schema, key_col="url", num_buckets=8)
+    run_stream(spark, src, root, ckpt, max_files_per_trigger=1,
+               available_now=True, timeout_sec=240, merge_mode="mor", compact_every=2)
+    t = LakeTable(spark, root).load()
+    assert t.read().count() == _expected_live(spark, ch)
+    # every merge snapshot was a pure delta append (no bucket rewrites)
+    merges = [s for s in t.snapshots() if s["summary"]["operation"] == "merge"
+              and s["summary"].get("batch_rows", 0) > 0]
+    assert merges and all(s["summary"]["merge_strategy"] == "mor-delta" for s in merges)
+    assert any(s["summary"]["operation"] == "compact" for s in t.snapshots())
