@@ -135,36 +135,9 @@ def merge_into(
     c = lww_dedup(changes, key, ts_col, lsn_col) if dedup else changes
     if post_dedup_transform is not None:
         c = post_dedup_transform(c)
-    c = c.withColumn("_cbucket", bucket_expr(key, nb))
-    # The deduped batch feeds three consumers (lineage stats, the
-    # survivors join, the insert anti-join); persist it once instead of
-    # recomputing the aggregation per consumer. Batches are bounded by
-    # the trigger size, and DISK spill keeps this safe at scale.
-    from pyspark import StorageLevel
-
-    c = c.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # Lineage stats + touched buckets in ONE job over the deduped batch.
-    stats_rows = (
-        c.groupBy("_cbucket")
-        .agg(F.count("*").alias("n"), F.min(lsn_col).alias("lmin"), F.max(lsn_col).alias("lmax"))
-        .collect()
-    )
-    touched = {int(r["_cbucket"]) for r in stats_rows}
-    batch_rows = sum(int(r["n"]) for r in stats_rows)
-    lineage = {
-        int(r["_cbucket"]): {"rows": int(r["n"]), "lsn_min": int(r["lmin"]), "lsn_max": int(r["lmax"])}
-        for r in stats_rows
-    }
 
     tschema = new_schema if new_schema is not None else table.schema()
     user_cols = [f.name for f in tschema.fields if f.name not in (LSN_COL, DELETED_COL)]
-
-    if batch_rows == 0:
-        c.unpersist()
-        return table.commit([], set(), operation="merge", stream_id=stream_id,
-                            batch_id=batch_id, summary_extra=summary_extra,
-                            new_schema=new_schema, fence_epoch=fence_epoch)
 
     # align the change payload to the (possibly evolved) table user schema
     tmap = {f.name: f for f in tschema.fields}
@@ -174,18 +147,23 @@ def merge_into(
             aligned_cols.append(F.col(name).cast(tmap[name].type).alias(name))
         else:
             aligned_cols.append(F.lit(None).cast(tmap[name].type).alias(name))
-    c_aligned = c.select(
-        F.col(op_col).alias("_cop"),
-        F.col(ts_col).cast("timestamp").alias("_cts"),
-        F.col(lsn_col).cast("bigint").alias("_clsn"),
-        *aligned_cols,
-    )
+
+    def _aligned(df):
+        return df.select(
+            F.col(op_col).alias("_cop"),
+            F.col(ts_col).cast("timestamp").alias("_cts"),
+            F.col(lsn_col).cast("bigint").alias("_clsn"),
+            *aligned_cols,
+        )
 
     if merge_mode == "mor":
-        # append-only delta write: one bucket-partitioned file set, no
-        # target scan, no bucket rewrite. Stale/duplicate versions simply
-        # lose at read-time collapse, so no stale guard is needed here.
-        delta = c_aligned.select(
+        # Append-only delta write: ONE Spark job — dedup/enrichment flow
+        # straight into the bucket-partitioned write, with no target
+        # scan, no bucket rewrite, no persist, and no separate stats job
+        # (per-bucket lineage = the _lsn min/max + row counts the writer
+        # already reads from the parquet footers). Stale/duplicate
+        # versions simply lose at read-time collapse — no guard needed.
+        delta = _aligned(c).select(
             *[
                 (
                     F.col("_clsn").alias(LSN_COL)
@@ -198,7 +176,14 @@ def merge_into(
             ]
         )
         entries = table.write_data_files(delta, tschema, kind="delta")
-        c.unpersist()
+        batch_rows = sum(e["records"] for e in entries)
+        lineage: dict[int, dict] = {}
+        for e in entries:
+            b = lineage.setdefault(e["bucket"], {"rows": 0, "lsn_min": None, "lsn_max": None})
+            b["rows"] += e["records"]
+            if e.get("lsn_min") is not None:
+                b["lsn_min"] = e["lsn_min"] if b["lsn_min"] is None else min(b["lsn_min"], e["lsn_min"])
+                b["lsn_max"] = e["lsn_max"] if b["lsn_max"] is None else max(b["lsn_max"], e["lsn_max"])
         extra = {"lineage": lineage, "batch_rows": batch_rows, "merge_strategy": "mor-delta"}
         extra.update(summary_extra or {})
         return table.commit(
@@ -215,6 +200,33 @@ def merge_into(
         )
     if merge_mode != "cow":
         raise ValueError(f"unknown merge_mode {merge_mode!r} (cow|mor)")
+
+    # ---- copy-on-write path: bucket pruning requires the touched-bucket
+    # set BEFORE the target scan, so one stats job over the (persisted)
+    # deduped batch is unavoidable; it doubles as the lineage source.
+    c = c.withColumn("_cbucket", bucket_expr(key, nb))
+    from pyspark import StorageLevel
+
+    c = c.persist(StorageLevel.MEMORY_AND_DISK)
+    stats_rows = (
+        c.groupBy("_cbucket")
+        .agg(F.count("*").alias("n"), F.min(lsn_col).alias("lmin"), F.max(lsn_col).alias("lmax"))
+        .collect()
+    )
+    touched = {int(r["_cbucket"]) for r in stats_rows}
+    batch_rows = sum(int(r["n"]) for r in stats_rows)
+    lineage = {
+        int(r["_cbucket"]): {"rows": int(r["n"]), "lsn_min": int(r["lmin"]), "lsn_max": int(r["lmax"])}
+        for r in stats_rows
+    }
+
+    if batch_rows == 0:
+        c.unpersist()
+        return table.commit([], set(), operation="merge", stream_id=stream_id,
+                            batch_id=batch_id, summary_extra=summary_extra,
+                            new_schema=new_schema, fence_epoch=fence_epoch)
+
+    c_aligned = _aligned(c)
 
     use_broadcast = 0 < batch_rows <= broadcast_threshold_rows
     c_side = F.broadcast(c_aligned) if use_broadcast else c_aligned

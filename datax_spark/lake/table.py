@@ -74,22 +74,54 @@ def _atomic_write_json(path: str, obj) -> None:
     os.rename(tmp, path)
 
 
-def _parquet_row_count(path: str) -> int:
+def _parquet_stats(path: str) -> tuple[int, int, int | None, int | None]:
+    """(records, deleted, lsn_min, lsn_max) from ONE footer read.
+
+    The tombstone count usually resolves from row-group boolean min/max
+    statistics (all-false → 0, all-true → n) — the _deleted column is
+    only materialized for row groups with mixed values. The _lsn range
+    comes straight from column statistics; both feed per-file manifest
+    stats and per-bucket lineage without any extra Spark job.
+    """
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    rows = md.num_rows
+    deleted = 0
+    mixed_rgs: list[int] = []
+    if DELETED_COL in names:
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            st = rgm.column(names[DELETED_COL]).statistics
+            if st is not None and st.has_min_max:
+                if st.max is False:
+                    continue
+                if st.min is True:
+                    deleted += rgm.num_rows
+                    continue
+            mixed_rgs.append(rg)
+        if mixed_rgs:
+            import pyarrow.compute as pc
 
-
-def _parquet_deleted_count(path: str) -> int:
-    """Count tombstone rows in a data file (RLE bool column — cheap read)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    try:
-        col = pq.read_table(path, columns=[DELETED_COL])[DELETED_COL]
-    except KeyError:
-        return 0
-    return int(pc.sum(col.cast("int64")).as_py() or 0)
+            for rg in mixed_rgs:
+                col = pf.read_row_group(rg, columns=[DELETED_COL])[DELETED_COL]
+                deleted += int(pc.sum(col.cast("int64")).as_py() or 0)
+    lsn_min = lsn_max = None
+    if LSN_COL in names and md.num_row_groups:
+        mins: list[int] = []
+        maxs: list[int] = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names[LSN_COL]).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            lsn_min, lsn_max = int(min(mins)), int(max(maxs))
+    return rows, deleted, lsn_min, lsn_max
 
 
 class LakeTable:
@@ -363,12 +395,15 @@ class LakeTable:
         for bdir in sorted(glob.glob(os.path.join(out_dir, f"{BUCKET_COL}=*"))):
             bucket = int(os.path.basename(bdir).split("=", 1)[1])
             for p in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+                records, deleted, lsn_min, lsn_max = _parquet_stats(p)
                 entries.append(
                     {
                         "path": os.path.relpath(p, self.root),
                         "bucket": bucket,
-                        "records": _parquet_row_count(p),
-                        "deleted": _parquet_deleted_count(p),
+                        "records": records,
+                        "deleted": deleted,
+                        "lsn_min": lsn_min,
+                        "lsn_max": lsn_max,
                         "schema_id": ts.schema_id,
                         "kind": kind,
                     }
