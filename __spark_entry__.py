@@ -709,7 +709,7 @@ def _pyref_oracles() -> dict[str, str]:
             [("id", "BIGINT"), ("simhash", "BIGINT")],
         ),
         "ann_lsh_topk": pyref.values_sql(
-            pyref.ann_lsh_topk_rows(sf_dir, k=10, num_planes=12),
+            pyref.ann_lsh_topk_rows(sf_dir, k=10, num_planes=6, num_tables=6),
             [("qid", "BIGINT"), ("vec_id", "BIGINT"), ("cosine", "DOUBLE"), ("rank", "INTEGER")],
         ),
         "media_features": pyref.values_sql(

@@ -144,14 +144,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over distinct k-shingles via shingle-inverted
     index self-join: |A∩B| from co-occurring shingles, |A∪B| = |A|+|B|−∩.
-    Shuffle key = shingle (inverted-index join), never a cartesian."""
+    Shuffle key = shingle (inverted-index join), never a cartesian.
+
+    ``max_df`` caps posting-list length: a shingle shared by D documents
+    contributes D² candidate pairs, so one stop-shingle ("of the …") in
+    10^6 docs is a 10^12-pair bucket — the self-join's quadratic hot
+    spot. Dropping shingles with document frequency > max_df before the
+    join is the standard inverted-index guard; intersections then
+    UNDERCOUNT by the dropped shingles, making the capped Jaccard a
+    lower bound (near-dup pairs share mostly rare shingles, so recall
+    loss is small). ``None`` keeps the exact semantics — at web scale
+    ALWAYS set it (e.g. 1000)."""
     ex = (
         df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"))
     )
     sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
+    if max_df is not None:
+        rare = (
+            ex.groupBy("sh").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        ex = ex.join(rare, "sh")  # shuffle key = shingle, same as the join
     a = ex.select(F.col("id").alias("id_a"), "sh")
     b = ex.select(F.col("id").alias("id_b"), "sh")
     inter = (

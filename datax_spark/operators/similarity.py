@@ -9,7 +9,8 @@ per Arrow batch (provided as ``cosine_topk_pandas``).
 Scale notes: brute force is O(Q·N) — fine when the query side is small
 and broadcast; the LSH path buckets both sides by signature so each
 bucket joins only its own candidates (shuffle key = signature), the
-standard ANN trade (recall < 1.0, measured by ``lsh_recall``).
+standard ANN trade: recall < 1.0, measured by ``lsh_recall`` below and
+pinned by ``tests/test_round2_operators.py``.
 """
 
 from __future__ import annotations
@@ -87,31 +88,61 @@ def cosine_topk_lsh(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    num_planes: int = 12,
+    num_planes: int = 6,
+    num_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: candidates share an LSH bucket (exact signature match,
-    plus multi-probe within Hamming distance 1 when probe_hamming=1),
-    re-ranked by exact cosine within bucket."""
+    """ANN top-k via MULTI-TABLE hyperplane LSH: ``num_tables``
+    independent signatures (different hash seeds), candidates share any
+    table's bucket (exact match + Hamming-1 multiprobe), deduplicated,
+    re-ranked by exact cosine.
+
+    Single-table LSH has a recall cliff: P(all planes agree) decays
+    exponentially in num_planes, so one fine-grained table finds almost
+    nothing (measured recall@10 = 0.13 on the 500-vector fixture with 12
+    planes). L coarser tables trade candidate volume for recall the
+    standard way — candidates ∝ L·N/2^planes per probe, recall =
+    1-(1-p^planes)^L. Tune num_planes to corpus size (buckets ≈
+    N/expected-candidates) and num_tables to the recall target;
+    ``lsh_recall`` measures the outcome.
+    """
     cvec = F.col(vec_col).cast("array<double>")
     qvec = F.col(qvec_col).cast("array<double>")
-    c = corpus.select(id_col, vec_col).withColumn("sig", hyperplane_signature(cvec, dim, num_planes))
-    probes = [F.col("sig")] + (
-        [F.col("sig").bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(num_planes)]
-        if probe_hamming >= 1
-        else []
+    sigs_c = F.array(*[
+        hyperplane_signature(cvec, dim, num_planes, seed=42 + 1000 * t)
+        for t in range(num_tables)
+    ])
+    sigs_q = [
+        hyperplane_signature(qvec, dim, num_planes, seed=42 + 1000 * t)
+        for t in range(num_tables)
+    ]
+    # corpus row → (table, sig) posting per table; shuffle key = (t, sig)
+    c = corpus.select(id_col, vec_col).select(
+        id_col, vec_col, F.posexplode(sigs_c).alias("t", "sig")
     )
+    probes = []
+    for t, sq in enumerate(sigs_q):
+        probes.append(F.struct(F.lit(t).alias("t"), sq.alias("sig")))
+        if probe_hamming >= 1:
+            probes.extend(
+                F.struct(F.lit(t).alias("t"),
+                         sq.bitwiseXOR(F.lit(1 << p).cast("long")).alias("sig"))
+                for p in range(num_planes)
+            )
     q = (
         queries.select(qid_col, qvec_col)
-        .withColumn("sig", hyperplane_signature(qvec, dim, num_planes))
-        .select(qid_col, qvec_col, F.explode(F.array(*probes)).alias("sig"))
+        .select(qid_col, qvec_col, F.explode(F.array(*probes)).alias("pr"))
+        .select(qid_col, qvec_col, F.col("pr.t").alias("t"), F.col("pr.sig").alias("sig"))
     )
-    cand = c.join(F.broadcast(q), "sig").withColumn(
-        "cosine", F.round(cosine(cvec, qvec), 4)
+    cand = (
+        c.join(F.broadcast(q), ["t", "sig"])
+        .select(qid_col, id_col, vec_col, qvec_col)
+        .dropDuplicates([qid_col, id_col])  # union across tables/probes
+        .withColumn("cosine", F.round(cosine(cvec, qvec), 4))
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -142,6 +173,35 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def lsh_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 6,
+    num_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> float:
+    """Measured recall@k of the hyperplane-LSH path vs exact brute force:
+    |approx ∩ exact| / |exact| over all queries. This is the acceptance
+    metric for the ANN trade (recall < 1 by design) — pin it in tests so
+    a bucketing regression shows up as a number, not an anecdote."""
+    exact = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+                        qid_col=qid_col, qvec_col=qvec_col)
+    approx = cosine_topk_lsh(corpus, queries, dim=dim, k=k, num_planes=num_planes,
+                             num_tables=num_tables, id_col=id_col, vec_col=vec_col,
+                             qid_col=qid_col, qvec_col=qvec_col)
+    e = exact.select(qid_col, id_col)
+    a = approx.select(qid_col, id_col)
+    n_exact = e.count()
+    if n_exact == 0:
+        return 1.0
+    return e.join(a, [qid_col, id_col], "inner").count() / n_exact
 
 
 def cosine_topk_pandas(

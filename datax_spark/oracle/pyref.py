@@ -167,27 +167,33 @@ def _cosine(a, b) -> float:
 def ann_lsh_topk_rows(
     sf_dir: str,
     k: int = 10,
-    num_planes: int = 12,
-    seed: int = 42,
+    num_planes: int = 6,
+    num_tables: int = 6,
     n_queries: int = 5,
 ) -> list[tuple]:
-    """(qid, vec_id, cosine, rank) — hyperplane-LSH candidates (exact sig
-    + Hamming-1 multiprobe), exact-cosine rerank
-    (engine: operators/similarity.py::cosine_topk_lsh)."""
+    """(qid, vec_id, cosine, rank) — MULTI-TABLE hyperplane LSH: per
+    table t (seed 42+1000t) candidates share the exact signature or a
+    Hamming-1 probe; candidate sets union across tables, then exact
+    cosine rerank (engine: operators/similarity.py::cosine_topk_lsh)."""
     emb = _load_pandas(sf_dir, "embeddings")
     vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
     dim = len(next(iter(vecs.values())))
-    signs = _signs(dim, num_planes, seed)
-    sig = {vid: _signature(v, signs) for vid, v in vecs.items()}
+    sigs = []  # per table: {vid: sig}
+    for t in range(num_tables):
+        signs = _signs(dim, num_planes, 42 + 1000 * t)
+        sigs.append({vid: _signature(v, signs) for vid, v in vecs.items()})
     out = []
     for qid in sorted(vid for vid in vecs if vid < n_queries):
-        probes = {sig[qid]} | {sig[qid] ^ (1 << p) for p in range(num_planes)}
+        cand_ids: set[int] = set()
+        for t in range(num_tables):
+            qsig = sigs[t][qid]
+            probes = {qsig} | {qsig ^ (1 << p) for p in range(num_planes)}
+            cand_ids.update(vid for vid, s in sigs[t].items() if s in probes)
         cands = [
             (vid, _round_half_up(_cosine(vecs[vid], vecs[qid]), 4))
-            for vid, s in sig.items()
-            if s in probes
+            for vid in cand_ids
         ]
-        cands.sort(key=lambda t: (-t[1], t[0]))
+        cands.sort(key=lambda t2: (-t2[1], t2[0]))
         for rank, (vid, cos) in enumerate(cands[:k], start=1):
             out.append((qid, vid, cos, rank))
     return out

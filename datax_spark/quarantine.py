@@ -90,19 +90,13 @@ def write_quarantine(tagged: DataFrame, quarantine_dir: str, batch_id: int | Non
     )
 
 
-def split_dirty(
+def _split_on_reason(
     batch: DataFrame,
-    key_col: str,
-    op_col: str,
-    lsn_col: str,
-    quarantine_dir: str | None = None,
-    limits: ErrorLimits | None = None,
-    batch_id: int | None = None,
+    reason,
+    quarantine_dir: str | None,
+    limits: ErrorLimits | None,
+    batch_id: int | None,
 ) -> tuple[DataFrame, int]:
-    """Split a batch into (clean_df, dirty_count); write dirty rows (with
-    reason) to the dead-letter dir. Cheap path: one aggregate to count,
-    and the dirty side is only materialized when rows exist."""
-    reason = dirty_reason(key_col, op_col, lsn_col)
     tagged = batch.withColumn("_dirty_reason", reason)
     dirty_count = tagged.filter(F.col("_dirty_reason").isNotNull()).count()
     if dirty_count:
@@ -118,3 +112,60 @@ def split_dirty(
             limits.check(dirty_count, total)
     clean = tagged.filter(F.col("_dirty_reason").isNull()).drop("_dirty_reason")
     return clean, dirty_count
+
+
+def split_dirty(
+    batch: DataFrame,
+    key_col: str,
+    op_col: str,
+    lsn_col: str,
+    quarantine_dir: str | None = None,
+    limits: ErrorLimits | None = None,
+    batch_id: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Split a batch into (clean_df, dirty_count); write dirty rows (with
+    reason) to the dead-letter dir. Cheap path: one aggregate to count,
+    and the dirty side is only materialized when rows exist."""
+    reason = dirty_reason(key_col, op_col, lsn_col)
+    return _split_on_reason(batch, reason, quarantine_dir, limits, batch_id)
+
+
+def cast_failure_reason(casts: dict[str, str]):
+    """NULL ⇒ every column casts cleanly; else the first failing column's
+    reason string. ``try_cast`` keeps the check ANSI-safe (ANSI mode is ON
+    in this engine's sessions — a plain cast would fail the whole job on
+    one malformed cell)."""
+    clauses = []
+    for c, t in casts.items():
+        bad = F.col(c).isNotNull() & F.expr(f"try_cast(`{c}` AS {t})").isNull()
+        clauses.append(F.when(bad, F.lit(f"cast failure: {c} as {t}")))
+    return F.coalesce(*clauses, F.lit(None).cast("string")) if clauses else F.lit(None).cast("string")
+
+
+def salvage_casts(
+    batch: DataFrame,
+    casts: dict[str, str],
+    quarantine_dir: str | None = None,
+    limits: ErrorLimits | None = None,
+    batch_id: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Permissive-parse salvage: the reference reader converts column
+    values per record and routes conversion failures to the dirty-record
+    channel instead of failing the task
+    (``plugin-rdbms-util/.../reader/CommonRdbmsReader.java:338-348``,
+    ``UnstructuredStorageReaderUtil.java:408-429``). Spark ANSI mode
+    would instead kill the job on the first bad cell — this splits rows
+    whose columns fail ``try_cast`` into the dead letter (with the
+    failing column in the reason), then applies the casts to survivors.
+
+    Returns (typed_clean_df, dirty_count). Untouched columns pass through.
+    """
+    reason = cast_failure_reason(casts)
+    clean, dirty = _split_on_reason(batch, reason, quarantine_dir, limits, batch_id)
+    typed = clean.select(
+        *[
+            F.expr(f"try_cast(`{c}` AS {casts[c]})").alias(c) if c in casts else F.col(c)
+            for c in clean.columns
+        ]
+    )
+    return typed, dirty

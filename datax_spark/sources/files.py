@@ -103,6 +103,13 @@ def write_files(df: DataFrame, path: str, fmt: str = "parquet", write_mode: str 
     getattr(w, fmt)(path)
 
 
+def _no_executor(sql: str) -> None:
+    raise RuntimeError(
+        "this JDBC write needs sink-side SQL execution (preSql/postSql/"
+        f"upsert) — pass sql_executor=<callable(sql)>; statement: {sql!r}"
+    )
+
+
 def write_jdbc_batched(
     df,
     url: str,
@@ -112,45 +119,65 @@ def write_jdbc_batched(
     num_partitions: int | None = None,
     pre_sql: list[str] | None = None,
     post_sql: list[str] | None = None,
+    key_cols: list[str] | None = None,
+    dialect: str = "mysql",
+    sql_executor=None,
     **options,
 ):
     """JDBC sink with CommonRdbmsWriter semantics
     (``plugin-rdbms-util/.../writer/CommonRdbmsWriter.java:266-313`` batch
-    loop; write modes ``WriterUtil.java:111-168``).
+    loop; write modes ``WriterUtil.java:111-168``; preSql/postSql hooks
+    ``CommonRdbmsWriter.java:89-129`` with @table rendering).
 
     - ``insert`` → plain INSERT batches (Spark JDBC ``append``).
-    - ``replace`` / ``update`` → MySQL REPLACE / ON DUPLICATE KEY need a
-      sink-side upsert statement Spark's JDBC writer doesn't generate; the
-      engine's native path for upsert is the lake MERGE — for a JDBC
-      target, stage to a temp table then run the upsert via ``post_sql``
-      (the DataX preSql/postSql hook, ``CommonRdbmsWriter.java:89-129``).
+    - ``replace`` / ``update`` → Spark's JDBC writer only generates
+      INSERT, so upserts run the staging plan from
+      :mod:`datax_spark.sources.jdbc_sql`: preSql creates a staging
+      table, batches INSERT into it, postSql applies one set-based
+      upsert (ON DUPLICATE KEY / MERGE) and drops staging — same final
+      state as the reference's per-batch REPLACE loop.
+    - ``sql_executor(sql)`` performs sink-side statements (a JDBC
+      connection wrapper on a real deployment; a recording fake in unit
+      tests — no live database exists in this sandbox).
     - ``batchSize`` maps to the JDBC option of the same name (reference
       default ``Constant.DEFAULT_BATCH_SIZE``; benchmarks show ≥512
       required for throughput, ``mysqlwriter/doc/mysqlwriter.md:332-335``).
-
-    No live database exists in this sandbox; exercised by the split-math
-    unit tests and kept engine-side thin (Spark handles per-partition
-    connections, retries require idempotent statements — the same
-    condition as ``Writer.Task.supportFailOver``).
     """
+    from datax_spark.sources.jdbc_sql import (
+        execute_sqls,
+        render_pre_post_sqls,
+        staging_upsert_plan,
+    )
+
     if write_mode not in ("insert", "replace", "update"):
         raise ValueError(f"unknown writeMode {write_mode!r}")
+    executor = sql_executor or _no_executor
+    load_table = table
+    plan_post: list[str] = []
+    if write_mode != "insert":
+        plan = staging_upsert_plan(
+            table, df.columns, key_cols or [], dialect=dialect
+        )
+        execute_sqls(executor, plan["pre"])
+        load_table = plan["load_table"]
+        plan_post = plan["post"]
+    if pre_sql:
+        execute_sqls(executor, render_pre_post_sqls(pre_sql, table))
     out = df.repartition(num_partitions) if num_partitions else df
     w = (
         out.write.format("jdbc")
         .option("url", url)
-        .option("dbtable", table)
+        .option("dbtable", load_table)
         .option("batchsize", batch_size)
         .mode("append")
     )
     for k, v in options.items():
         w = w.option(k, v)
-    if pre_sql or post_sql or write_mode != "insert":
-        raise NotImplementedError(
-            "replace/update/preSql/postSql need a live JDBC connection to "
-            "execute sink-side SQL; stage via insert + post_sql upsert"
-        )
     w.save()
+    if plan_post:
+        execute_sqls(executor, plan_post)
+    if post_sql:
+        execute_sqls(executor, render_pre_post_sqls(post_sql, table))
 
 
 def read_jdbc_partitioned(

@@ -1,0 +1,122 @@
+"""JDBC writer statement generation — DataX WriterUtil parity as pure logic.
+
+Re-expresses the reference's write-mode templates and pre/post hook
+rendering (``plugin-rdbms-util/.../writer/util/WriterUtil.java:111-168``
+``getWriteTemplate``/``onDuplicateKeyUpdateString``,
+``WriterUtil.java:79-93`` ``renderPreOrPostSqls`` with the ``@table``
+placeholder, ``CommonRdbmsWriter.java:89-129`` preSql precheck +
+``:254-263,331-341`` pre/post execution order) so the SQL surface is
+unit-testable without a live database. Execution is injected: callers
+pass an ``executor(sql)`` callable (a JDBC connection wrapper on a real
+cluster, a recording fake in tests).
+
+Upserts a Spark JDBC sink can't express directly use the standard
+staging-table plan: load batches into a temp table with the plain
+INSERT template, then run one set-based upsert from staging to target —
+the same end state as the reference's per-batch REPLACE / ON DUPLICATE
+KEY loops, with one statement instead of row batches.
+"""
+
+from __future__ import annotations
+
+TABLE_PLACEHOLDER = "@table"  # Constant.TABLE_NAME_PLACEHOLDER
+
+WRITE_MODES = ("insert", "replace", "update")
+
+
+def render_pre_post_sqls(sqls: list[str] | None, table: str) -> list[str]:
+    """``renderPreOrPostSqls``: substitute @table, drop blank entries."""
+    if not sqls:
+        return []
+    return [s.replace(TABLE_PLACEHOLDER, table) for s in sqls if s and s.strip()]
+
+
+def on_duplicate_key_update(columns: list[str]) -> str:
+    """``onDuplicateKeyUpdateString``: col=VALUES(col) list."""
+    if not columns:
+        return ""
+    parts = ",".join(f"{c}=VALUES({c})" for c in columns)
+    return f" ON DUPLICATE KEY UPDATE {parts}"
+
+
+def write_template(
+    columns: list[str],
+    write_mode: str = "insert",
+    dialect: str = "mysql",
+    force_use_update: bool = False,
+) -> str:
+    """``getWriteTemplate``: the per-batch statement with ``%s`` as the
+    table slot and ``?`` value holders, byte-compatible with the
+    reference's output for the MySQL dialect."""
+    mode = write_mode.strip().lower()
+    if not mode.startswith(WRITE_MODES):
+        raise ValueError(
+            f"writeMode {write_mode!r} not supported (insert/replace/update)"
+        )
+    cols = ",".join(columns)
+    vals = ",".join("?" for _ in columns)
+    if force_use_update or (dialect in ("mysql", "tddl") and mode.startswith("update")):
+        return f"INSERT INTO %s ({cols}) VALUES({vals}){on_duplicate_key_update(columns)}"
+    # reference guard: 'update' outside MySQL downgrades to replace; other
+    # modes keep the user's verb VERBATIM ("insert ignore" works as-is)
+    verb = "replace" if mode.startswith("update") else write_mode.strip()
+    return f"{verb} INTO %s ({cols}) VALUES({vals})"
+
+
+def staging_upsert_plan(
+    target: str,
+    columns: list[str],
+    key_cols: list[str],
+    dialect: str = "mysql",
+    staging: str | None = None,
+) -> dict[str, list[str] | str]:
+    """Set-based upsert via a staging table.
+
+    Returns {"pre": [...], "load_table": staging, "post": [...]} —
+    pre-SQL creates the staging table, Spark's JDBC writer bulk-INSERTs
+    into it (the only mode it generates), post-SQL applies the upsert
+    and drops staging. ``dialect``:
+    - mysql → INSERT ... SELECT ... ON DUPLICATE KEY UPDATE
+    - ansi  → MERGE INTO ... WHEN MATCHED UPDATE / NOT MATCHED INSERT
+    """
+    if not key_cols:
+        raise ValueError("staging upsert needs key_cols")
+    stg = staging or f"{target}_datax_stg"
+    cols = ",".join(columns)
+    non_keys = [c for c in columns if c not in key_cols]
+    pre = [
+        f"DROP TABLE IF EXISTS {stg}",
+        f"CREATE TABLE {stg} LIKE {target}"
+        if dialect in ("mysql", "tddl")
+        else f"CREATE TABLE {stg} AS SELECT {cols} FROM {target} WHERE 1=0",
+    ]
+    if dialect in ("mysql", "tddl"):
+        upsert = (
+            f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {stg}"
+            f"{on_duplicate_key_update(non_keys or columns)}"
+        )
+    else:
+        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+        sets = ", ".join(f"t.{c} = s.{c}" for c in non_keys) or ", ".join(
+            f"t.{c} = s.{c}" for c in columns
+        )
+        ins_cols = ",".join(columns)
+        ins_vals = ",".join(f"s.{c}" for c in columns)
+        upsert = (
+            f"MERGE INTO {target} t USING {stg} s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+        )
+    post = [upsert, f"DROP TABLE {stg}"]
+    return {"pre": pre, "load_table": stg, "post": post}
+
+
+def execute_sqls(executor, sqls: list[str]) -> None:
+    """``WriterUtil.executeSqls``: run statements in order, fail fast with
+    the offending statement in the error (the reference wraps it in
+    RdbmsException with currentSql)."""
+    for sql in sqls:
+        try:
+            executor(sql)
+        except Exception as e:  # noqa: BLE001 — annotate and re-raise
+            raise RuntimeError(f"executing sql failed: {sql!r}: {e}") from e

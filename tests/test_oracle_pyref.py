@@ -77,7 +77,7 @@ def test_ann_lsh_pyref_matches_engine(spark):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     got = _rows(cosine_topk_lsh(emb, queries, dim=dim, k=10))
-    assert got == sorted(pyref.ann_lsh_topk_rows(SF_DIR, k=10, num_planes=12))
+    assert got == sorted(pyref.ann_lsh_topk_rows(SF_DIR, k=10))
 
 
 def test_media_pyref_matches_engine(spark):
