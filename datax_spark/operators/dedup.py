@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from datax_spark.functions.text import normalize_ws, shingles
+from datax_spark.operators.util import rebalance_for_cpu
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -64,7 +65,8 @@ def minhash_signatures(
         *[F.array_min(F.transform(F.col("_base"), _perm(i))) for i in range(num_hashes)]
     )
     return (
-        df.select(F.col(id_col).alias("id"), base.alias("_base"))
+        rebalance_for_cpu(df)
+        .select(F.col(id_col).alias("id"), base.alias("_base"))
         .select("id", mins.alias("sig"))
     )
 
@@ -160,7 +162,8 @@ def ngram_jaccard_pairs(
     loss is small). ``None`` keeps the exact semantics — at web scale
     ALWAYS set it (e.g. 1000)."""
     ex = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"))
+        rebalance_for_cpu(df)
+        .select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), k_shingle))).alias("sh"))
     )
     sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
     if max_df is not None:
@@ -196,7 +199,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     shuffle on id with map-side partial sums.
     """
     words = F.split(F.lower(normalize_ws(F.col(text_col))), r"\s+")
-    tok = df.select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
+    tok = rebalance_for_cpu(df).select(F.col(id_col).alias("id"), F.explode(words).alias("w"))
     tok = tok.withColumn("h", F.xxhash64("w"))
     bit_sums = tok.groupBy("id").agg(
         *[

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from datax_spark.operators.util import rebalance_for_cpu
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -44,7 +46,7 @@ def cosine_topk(
     """Exact top-k neighbors per query by cosine. The query side is
     broadcast (small); ranking = window row_number per query."""
     q = F.broadcast(queries.select(F.col(qid_col), F.col(qvec_col)))
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
+    scored = rebalance_for_cpu(corpus.select(F.col(id_col), F.col(vec_col))).crossJoin(q).select(
         qid_col,
         id_col,
         F.col(vec_col).alias("_v"),
@@ -121,7 +123,7 @@ def cosine_topk_lsh(
         for t in range(num_tables)
     ]
     # corpus row → (table, sig) posting per table; shuffle key = (t, sig)
-    c = corpus.select(id_col, vec_col).select(
+    c = rebalance_for_cpu(corpus.select(id_col, vec_col)).select(
         id_col, vec_col, F.posexplode(sigs_c).alias("t", "sig")
     )
     probes = []
@@ -162,7 +164,8 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed self-join."""
     v = F.col(vec_col).cast("array<double>")
-    s = df.select(id_col, vec_col).withColumn("sig", hyperplane_signature(v, dim, num_planes))
+    s = rebalance_for_cpu(df.select(id_col, vec_col)).withColumn(
+        "sig", hyperplane_signature(v, dim, num_planes))
     a = s.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "sig")
     b = s.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "sig")
     return (
