@@ -125,6 +125,59 @@ def _replay(spark, input_path: str, table_root: str, n_events: int) -> float:
     return min(times)
 
 
+def _trickle(spark, base: str) -> dict:
+    """Trickle-batch latency: median seconds per 1k-event batch applied to
+    a 200k-key table, copy-on-write vs merge-on-read. The MoR number is
+    the engine's answer to the CoW full-bucket-rewrite scale problem —
+    per-batch cost ∝ batch, not touched-bucket bytes."""
+    from pyspark.sql import functions as F, types as T
+
+    from datax_spark.cdc.apply import apply_changes
+    from datax_spark.cdc.generator import changes_df
+    from datax_spark.functions.extract import with_enrichment
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("lang_id", T.StringType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("quality", T.DoubleType(), True),
+            T.StructField("fp", T.LongType(), True),
+        ]
+    )
+    big = changes_df(spark, 200_000, n_keys=200_000, partitions=CPUS,
+                     html_paragraphs=HTML_PARAGRAPHS)
+    trickle = changes_df(spark, 500_000, n_keys=200_000, partitions=CPUS,
+                         html_paragraphs=HTML_PARAGRAPHS) \
+        .filter("lsn > 490000").cache()
+    trickle.count()
+    out = {}
+    for mode in ("cow", "mor"):
+        root = f"{base}/trickle_{mode}"
+        t = LakeTable.create(spark, root, schema, key_col="url", num_buckets=NUM_BUCKETS)
+        apply_changes(t, big, batch_id=0, ts_col="warc_ts",
+                      transform=with_enrichment, merge_mode="cow")
+        apply_changes(t, trickle.limit(100), batch_id=1, ts_col="warc_ts",
+                      transform=with_enrichment, merge_mode=mode)  # warm
+        times = []
+        for b in range(6):
+            batch = trickle.filter(
+                (F.col("lsn") > 491_000 + b * 1000) & (F.col("lsn") <= 492_000 + b * 1000)
+            )
+            t0 = time.time()
+            apply_changes(t, batch, batch_id=b + 2, ts_col="warc_ts",
+                          transform=with_enrichment, merge_mode=mode)
+            times.append(time.time() - t0)
+        out[f"trickle_{mode}_median_sec"] = round(sorted(times)[len(times) // 2], 2)
+    trickle.unpersist()
+    return out
+
+
 def _calibration_burn(_):
     import hashlib
 
@@ -181,6 +234,10 @@ def main() -> None:
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             q_times[name] = round(time.time() - t0, 2)
+
+        # ---- trickle-batch latency (cow vs mor), 4N session
+        trickle_stats = _trickle(spark, base)
+        q_times.update(trickle_stats)
 
         # ---- replay at 4N cores (this session)
         t_4n = _replay(spark, f"{base}/changes", f"{base}/t4n", n_events)

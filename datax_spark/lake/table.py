@@ -74,6 +74,42 @@ def _atomic_write_json(path: str, obj) -> None:
     os.rename(tmp, path)
 
 
+# columns of a manifest entry (schema pinned so empty manifests roundtrip)
+_MANIFEST_SCHEMA_COLS = [
+    ("path", "string"), ("bucket", "int64"), ("records", "int64"),
+    ("deleted", "int64"), ("lsn_min", "int64"), ("lsn_max", "int64"),
+    ("schema_id", "int64"), ("kind", "string"),
+]
+
+
+def _atomic_write_manifest(path: str, entries: list[dict]) -> None:
+    """Manifests are PARQUET, not JSON: a commit rewrites the full file
+    list, and at lakehouse file counts (MoR deltas × buckets × batches;
+    100k+ files) JSON serialize/parse on every commit becomes the
+    driver's bottleneck — columnar manifests keep commit cost O(files)
+    with a tiny constant and open the door to predicate-pushdown manifest
+    scans. Same atomic tmp+rename contract as the metadata log."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema([(n, t) for n, t in _MANIFEST_SCHEMA_COLS])
+    cols = {
+        n: [e.get(n) for e in entries] for n, _ in _MANIFEST_SCHEMA_COLS
+    }
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    pq.write_table(pa.table(cols, schema=schema), tmp)
+    os.rename(tmp, path)
+
+
+def _read_manifest(path: str) -> list[dict]:
+    if path.endswith(".json"):  # round-1 tables keep working
+        with open(path) as f:
+            return json.load(f)
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pylist()
+
+
 def _parquet_stats(path: str) -> tuple[int, int, int | None, int | None]:
     """(records, deleted, lsn_min, lsn_max) from ONE footer read.
 
@@ -249,8 +285,7 @@ class LakeTable:
         snap = snapshot if snapshot is not None else self.current_snapshot()
         if snap is None:
             return []
-        with open(os.path.join(self.root, snap["manifest"])) as f:
-            return json.load(f)
+        return _read_manifest(os.path.join(self.root, snap["manifest"]))
 
     def last_batch_id(self, stream_id: str, epoch: str | None = None) -> int:
         """Batch-id high-water mark for exactly-once fencing.
@@ -443,8 +478,8 @@ class LakeTable:
         replaced = replaced_buckets or set()
         manifest = [e for e in prev if e["bucket"] not in replaced] + new_entries
         snap_id = m["current_snapshot_id"] + 1
-        manifest_rel = os.path.join("metadata", f"manifest-{snap_id}.json")
-        _atomic_write_json(os.path.join(self.root, manifest_rel), manifest)
+        manifest_rel = os.path.join("metadata", f"manifest-{snap_id}.parquet")
+        _atomic_write_manifest(os.path.join(self.root, manifest_rel), manifest)
         total = sum(e["records"] for e in manifest)
         # live excludes tombstones (files written before the "deleted"
         # stat existed count as all-live — a documented legacy upper bound)
