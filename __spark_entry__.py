@@ -362,6 +362,48 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthetic_media(spark, 200))
 
 
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 video row → N frame rows) — the engine's
+    UDTF-style surface (SURVEY §2.9); frames hex-encoded for comparison."""
+    from datax_spark.operators.multimodal import sample_frames, synthetic_media
+
+    return sample_frames(synthetic_media(spark, 120), every_ms=1000).select(
+        "media_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    )
+
+
+def _q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datax_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        docs, "text", "doc_id", k_shingle=3, num_hashes=32, bands=8,
+        jaccard_threshold=0.5,
+    ).select("doc_id")
+
+
+def _q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datax_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall@10 vs exact brute force — the ANN acceptance
+    metric as a first-class query (the approximate operator ships WITH
+    its quality measurement)."""
+    from datax_spark.operators.similarity import lsh_recall
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    r = lsh_recall(emb, queries, dim=dim, k=10)
+    return spark.createDataFrame([(5, float(r))], "n_queries int, recall double")
+
+
 def _q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.cdc.windows import windowed_change_counts
 
@@ -454,6 +496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "stream_source_const": _q_stream_source,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+        "dedup_minhash_keep": _q_dedup_minhash_keep,
+        "doc_quality_score": _q_doc_quality_score,
+        "ann_recall": _q_ann_recall,
         "events_windowed_counts": _q_events_windowed_counts,
         "cdc_session_gaps": _q_cdc_session_gaps,
         "doc_lang_id": _q_doc_lang_id,
@@ -630,6 +676,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM s GROUP BY user_id
         """,
+        "doc_quality_score": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), '\s+')) END AS n_tok,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text)
+                          ELSE 0 END AS alpha,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}\-]', '', 'g'))) * 1.0 / length(text)
+                          ELSE 0 END AS punct,
+                     string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+              FROM documents
+            ),
+            sw AS (
+              SELECT doc_id, n_tok, alpha, punct,
+                     CASE WHEN len(w) > 0 THEN
+                       len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','it','for','was'], x))) * 1.0 / len(w)
+                     ELSE 0 END AS swr
+              FROM base
+            )
+            SELECT doc_id,
+                   round(0.4 * least(n_tok / 100.0, 1.0)
+                       + 0.3 * alpha
+                       + 0.2 * least(swr * 4, 1.0)
+                       + 0.1 * (1.0 - least(punct * 5, 1.0)), 4) AS quality
+            FROM sw
+        """,
         "doc_lang_id": r"""
             WITH words AS (
               SELECT doc_id,
@@ -716,6 +790,18 @@ def _pyref_oracles() -> dict[str, str]:
             pyref.media_features_rows(200),
             [("media_id", "BIGINT"), ("kind", "VARCHAR"), ("n_bytes", "BIGINT"),
              ("checksum", "BIGINT"), ("fake_mean", "DOUBLE")],
+        ),
+        "media_frames": pyref.values_sql(
+            pyref.media_frames_rows(120, every_ms=1000),
+            [("media_id", "BIGINT"), ("frame_idx", "INTEGER"), ("frame_hex", "VARCHAR")],
+        ),
+        "dedup_minhash_keep": pyref.values_sql(
+            pyref.minhash_keep_rows(sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5),
+            [("doc_id", "BIGINT")],
+        ),
+        "ann_recall": pyref.values_sql(
+            pyref.ann_recall_rows(sf_dir, k=10, num_planes=6, num_tables=6),
+            [("n_queries", "INTEGER"), ("recall", "DOUBLE")],
         ),
     }
 

@@ -199,6 +199,52 @@ def ann_lsh_topk_rows(
     return out
 
 
+def minhash_keep_rows(
+    sf_dir: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> list[tuple]:
+    """(doc_id,) survivors of minhash near-dup collapse: any doc that is
+    the id_b of a candidate pair maps to a smaller representative and is
+    dropped (engine: operators/dedup.py::minhash_lsh_dedup)."""
+    docs = _load_pandas(sf_dir, "documents")
+    pairs = minhash_pairs_rows(sf_dir, k_shingle, num_hashes, bands, threshold)
+    dropped = {b for _a, b, _e in pairs}
+    return [(int(d),) for d in docs["doc_id"] if int(d) not in dropped]
+
+
+def ann_recall_rows(
+    sf_dir: str,
+    k: int = 10,
+    num_planes: int = 6,
+    num_tables: int = 6,
+    n_queries: int = 5,
+) -> list[tuple]:
+    """[(n_queries, recall)] — measured recall@k of the LSH path vs exact
+    brute-force top-k (engine: operators/similarity.py::lsh_recall).
+    Both sides recomputed here: the exact ranking uses the same rounded
+    cosine + (desc cosine, asc id) tie-break as the engine."""
+    emb = _load_pandas(sf_dir, "embeddings")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+    exact: set[tuple[int, int]] = set()
+    for qid in sorted(vid for vid in vecs if vid < n_queries):
+        scored = [
+            (vid, _round_half_up(_cosine(v, vecs[qid]), 4)) for vid, v in vecs.items()
+        ]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        exact.update((qid, vid) for vid, _ in scored[:k])
+    approx = {
+        (qid, vid)
+        for qid, vid, _cos, _rank in ann_lsh_topk_rows(
+            sf_dir, k=k, num_planes=num_planes, num_tables=num_tables, n_queries=n_queries
+        )
+    }
+    recall = len(approx & exact) / len(exact) if exact else 1.0
+    return [(n_queries, recall)]
+
+
 # --------------------------------------------------------- media features
 
 def media_features_rows(n: int = 200) -> list[tuple]:
@@ -216,6 +262,25 @@ def media_features_rows(n: int = 200) -> list[tuple]:
         checksum = sum(raw[:256]) % 65536
         fake_mean = (sum(raw[:64]) / max(1, min(nb, 64))) if nb else 0.0
         out.append((i, kind, nb, checksum, float(fake_mean)))
+    return out
+
+
+def media_frames_rows(n: int = 120, every_ms: int = 1000) -> list[tuple]:
+    """(media_id, frame_idx, frame_hex) — recomputes synthetic_media's
+    video rows + the stub frame sampler's deterministic byte slices
+    (engine: operators/multimodal.py::sample_frames), frames hex-encoded
+    (uppercase, matching Spark F.hex) for SQL comparability."""
+    kinds = ["image", "audio", "video"]
+    out = []
+    for i in range(n):
+        if kinds[spark_xxhash64(("long", i)) % 3] != "video":
+            continue
+        pad = spark_xxhash64(("long", i), ("int", 1)) % 64 + 16
+        payload = (f"BLOB{i}" + "x" * pad).encode("utf-8")
+        dur = spark_xxhash64(("long", i), ("int", 2)) % 5000 + 500
+        for fi in range(max(1, dur // every_ms)):
+            lo = (fi * 32) % max(1, len(payload))
+            out.append((i, fi, payload[lo : lo + 32].hex().upper()))
     return out
 
 
