@@ -465,6 +465,35 @@ def _q_setops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent.subtract(big).select(F.col("o_custkey").alias("custkey"))
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality-score filter → exact
+    near-dup collapse (min doc_id per normalized-content class) →
+    per-language corpus stats. The shape a 100 TB curation run takes:
+    scan-side projections, one dedup shuffle, one stats aggregate."""
+    from datax_spark.functions.text import lang_id, quality_score
+    from datax_spark.operators.dedup import exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text",
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lid"),
+    ).filter(F.col("q") >= 0.5)
+    keep = exact_dedup(scored, "text", "doc_id")
+    return (
+        scored.join(keep, "doc_id")
+        .groupBy("lid")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # decimal-sum/count instead of avg(): associative, so the
+            # result is independent of partitioning (q is 4-decimal)
+            F.round(
+                F.sum(F.col("q").cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_quality"),
+        )
+    )
+
+
 def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -504,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_session_gaps": _q_cdc_session_gaps,
         "doc_lang_id": _q_doc_lang_id,
         "doc_stopword_ratio": _q_doc_stopword_ratio,
+        "corpus_curation": _q_corpus_curation,
         "rollup_orders": _q_rollup_orders,
         "setops_custkeys": _q_setops_custkeys,
         "customers_without_orders": _q_customers_without_orders,
@@ -739,6 +769,59 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','it','for','was'], x))) * 1.0 / len(w)
                    ELSE 0 END, 6) AS sw_ratio
             FROM words
+        """,
+        "corpus_curation": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), '\s+')) END AS n_tok,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text)
+                          ELSE 0 END AS alpha,
+                     CASE WHEN length(text) > 0
+                          THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}\-]', '', 'g'))) * 1.0 / length(text)
+                          ELSE 0 END AS punct,
+                     string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+              FROM documents
+            ),
+            scored AS (
+              SELECT doc_id, text, w,
+                     round(0.4 * least(n_tok / 100.0, 1.0)
+                         + 0.3 * alpha
+                         + 0.2 * least((CASE WHEN len(w) > 0 THEN
+                             len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','it','for','was'], x))) * 1.0 / len(w)
+                           ELSE 0 END) * 4, 1.0)
+                         + 0.1 * (1.0 - least(punct * 5, 1.0)), 4) AS q
+              FROM base
+            ),
+            filtered AS (SELECT * FROM scored WHERE q >= 0.5),
+            keep AS (
+              SELECT min(doc_id) AS doc_id
+              FROM filtered
+              GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+            ),
+            hits AS (
+              SELECT f.doc_id, f.q,
+                len(list_filter(f.w, x -> list_contains(['the','and','of','to','in','is','that','it','for','was'], x))) AS en,
+                len(list_filter(f.w, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS de,
+                len(list_filter(f.w, x -> list_contains(['le','la','les','et','est','une','des','dans','pour','que'], x))) AS fr,
+                len(list_filter(f.w, x -> list_contains(['el','la','los','las','y','es','una','del','para','por'], x))) AS es,
+                len(list_filter(f.w, x -> list_contains(['的','是','在','了','和','有','我','他','这','们'], x))) AS zh
+              FROM filtered f JOIN keep k ON f.doc_id = k.doc_id
+            ),
+            labeled AS (
+              SELECT doc_id, q,
+                     CASE WHEN greatest(en,de,fr,es,zh) = 0 THEN 'und'
+                          WHEN en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+                          WHEN de >= fr AND de >= es AND de >= zh THEN 'de'
+                          WHEN fr >= es AND fr >= zh THEN 'fr'
+                          WHEN es >= zh THEN 'es'
+                          ELSE 'zh' END AS lid
+              FROM hits
+            )
+            SELECT lid, count(*) AS n_docs,
+                   round(CAST(sum(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_quality
+            FROM labeled GROUP BY lid
         """,
         "rollup_orders": """
             SELECT coalesce(o_orderpriority, 'ALL') AS priority,

@@ -99,6 +99,20 @@ def _read(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         )
     if name == "changereader":
         return spark.read.parquet(*_aslist(p["path"]))
+    if name == "jdbcreader":
+        from datax_spark.sources.files import read_jdbc_partitioned
+
+        return read_jdbc_partitioned(
+            spark,
+            url=p["jdbcUrl"],
+            table=p["table"],
+            split_col=p.get("splitPk"),
+            lower=p.get("lowerBound"),
+            upper=p.get("upperBound"),
+            num_partitions=int(p.get("numPartitions", cfg.channels)),
+            predicates=p.get("predicates"),
+            **p.get("options", {}),
+        )
     raise ValueError(f"unknown reader {name!r}")
 
 
@@ -165,8 +179,25 @@ def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
             op_col=p.get("opColumn", "op"),
             quarantine_dir=p.get("quarantineDir"),
             error_limits=cfg.error_limits,
+            merge_mode=p.get("mergeMode", "cow"),
         )
         return {"writer": name, **{k: v for k, v in m.items() if k != "lineage"}}
+    if name == "jdbcwriter":
+        from datax_spark.sources.files import write_jdbc_batched
+
+        write_jdbc_batched(
+            df,
+            url=p["jdbcUrl"],
+            table=p["table"],
+            write_mode=p.get("writeMode", "insert"),
+            batch_size=int(p.get("batchSize", 2048)),
+            num_partitions=cfg.channels,
+            pre_sql=p.get("preSql"),
+            post_sql=p.get("postSql"),
+            key_cols=p.get("keyColumns"),
+            dialect=p.get("dialect", "mysql"),
+        )
+        return {"writer": name, "table": p["table"]}
     raise ValueError(f"unknown writer {name!r}")
 
 

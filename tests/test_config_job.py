@@ -90,3 +90,37 @@ def test_dry_run_returns_plan(spark):
     }))
     out = run_job(spark, cfg)
     assert out["dryRun"] is True and "c0" in out["schema"]
+
+
+def test_job_lakemerger_mor(spark, tmp_path):
+    """job.json CDC path in merge-on-read mode: deltas append, reads collapse."""
+    import json
+
+    from datax_spark.config import run_job
+    from datax_spark.lake.table import LakeTable
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "changes")
+    spark.range(100).select(
+        F.col("id").alias("lsn"), F.lit("I").alias("op"),
+        F.concat(F.lit("https://x/"), (F.col("id") % 40).cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("warc_ts"),
+        F.lit("en").alias("lang"),
+    ).write.parquet(src)
+    root = str(tmp_path / "lake")
+    job = {
+        "job": {
+            "setting": {"speed": {"channel": 4}},
+            "content": [{
+                "reader": {"name": "changereader", "parameter": {"path": src}},
+                "writer": {"name": "lakemerger", "parameter": {
+                    "path": root, "keyColumn": "url", "numBuckets": 4,
+                    "tsColumn": "warc_ts", "mergeMode": "mor", "batchId": 0}},
+            }],
+        }
+    }
+    out = run_job(spark, json.dumps(job))
+    assert out["batch_rows"] == 40  # LWW winners (40 keys)
+    t = LakeTable(spark, root).load()
+    assert t.read().count() == 40
+    assert any(e.get("kind") == "delta" for e in t.manifest())
