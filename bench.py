@@ -76,7 +76,8 @@ def _fresh_spark(cores: int):
     )
 
 
-def _replay(spark, input_path: str, table_root: str, n_events: int) -> float:
+def _replay(spark, input_path: str, table_root: str, n_events: int,
+            merge_mode: str = "cow") -> float:
     """Timed bounded replay: N_BATCHES fenced merges with the html→text
     pandas-UDF extractor on the post-dedup winners (the full north-star
     hot path). Returns seconds."""
@@ -106,7 +107,7 @@ def _replay(spark, input_path: str, table_root: str, n_events: int) -> float:
     ch = spark.read.parquet(input_path)
     wt = LakeTable.create(spark, f"{table_root}_warm", schema, key_col="url",
                           num_buckets=NUM_BUCKETS)
-    apply_changes(wt, ch, batch_id=0, transform=with_enrichment)
+    apply_changes(wt, ch, batch_id=0, transform=with_enrichment, merge_mode=merge_mode)
 
     # two timed repetitions into fresh tables; report the min (the box
     # is virtualized and noisy — min-of-repeats is the standard estimator
@@ -120,7 +121,8 @@ def _replay(spark, input_path: str, table_root: str, n_events: int) -> float:
         for b in range(N_BATCHES):
             hi = (b + 1) * per if b < N_BATCHES - 1 else n_events + 1
             batch = ch.filter((F.col("lsn") > b * per) & (F.col("lsn") <= hi))
-            apply_changes(t, batch, batch_id=b, transform=with_enrichment)
+            apply_changes(t, batch, batch_id=b, transform=with_enrichment,
+                          merge_mode=merge_mode)
         times.append(time.time() - t0)
     return min(times)
 
@@ -241,6 +243,9 @@ def main() -> None:
 
         # ---- replay at 4N cores (this session)
         t_4n = _replay(spark, f"{base}/changes", f"{base}/t4n", n_events)
+        t_4n_mor = _replay(spark, f"{base}/changes", f"{base}/t4nm", n_events,
+                           merge_mode="mor")
+        q_times["cdc_replay_4n_mor"] = round(t_4n_mor, 2)
 
         # ---- replay at N cores (fresh session, same input bytes)
         spark = _fresh_spark(N_CORES_SMALL)
