@@ -299,6 +299,13 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "text", "doc_id")
 
 
+def _q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datax_spark.operators.dedup import simhash_near_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "text", "doc_id", radius=3)
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.operators.similarity import cosine_topk
 
@@ -520,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_near": _q_dedup_simhash_near,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "emb_near_dup": _q_emb_near_dup,
@@ -864,6 +872,10 @@ def _pyref_oracles() -> dict[str, str]:
         "dedup_simhash": pyref.values_sql(
             pyref.simhash_rows(sf_dir),
             [("id", "BIGINT"), ("simhash", "BIGINT")],
+        ),
+        "dedup_simhash_near": pyref.values_sql(
+            pyref.simhash_near_rows(sf_dir, radius=3),
+            [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")],
         ),
         "ann_lsh_topk": pyref.values_sql(
             pyref.ann_lsh_topk_rows(sf_dir, k=10, num_planes=6, num_tables=6),

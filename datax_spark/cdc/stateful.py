@@ -75,44 +75,66 @@ def _advance_kernel(
     return keep, new_ts, new_lsn
 
 
-def _advance(
-    key,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        max_ts, max_lsn = state.get
-    else:
-        max_ts, max_lsn = _TS_MIN, -1
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values("lsn")  # binlog replay order
-        keep, max_ts, max_lsn = _advance_kernel(pdf, max_ts, max_lsn)
-        if keep.any():
-            yield pdf[keep]
-    state.update((int(max_ts), int(max_lsn)))
+def _make_advance(ttl_ms: int | None):
+    def _advance(
+        key,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle key expired: drop its high-water mark. Expiry only
+            # RELAXES the filter (a late event for this key passes to the
+            # merge, whose cross-batch stale guard still rejects it), so
+            # bounding state never breaks convergence.
+            state.remove()
+            return
+        if state.exists:
+            max_ts, max_lsn = state.get
+        else:
+            max_ts, max_lsn = _TS_MIN, -1
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("lsn")  # binlog replay order
+            keep, max_ts, max_lsn = _advance_kernel(pdf, max_ts, max_lsn)
+            if keep.any():
+                yield pdf[keep]
+        state.update((int(max_ts), int(max_lsn)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _advance
 
 
 def lww_advance_filter(
     changes: DataFrame,
     key_col: str = "url",
     output_schema: T.StructType | None = None,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Keep only events that advance their key's (warc_ts, lsn) state.
 
     Works on a streaming DataFrame (state persists in the checkpoint
     across micro-batches — survives restarts) and, for testing, on a
     batch DataFrame via groupBy().applyInPandas with empty prior state.
+
+    ``state_ttl_ms`` bounds state to recently-active keys (processing
+    -time timeout): at web scale the live-key set is ~10^9 urls × 16 B,
+    but only the actively-changing tail needs a high-water mark — an
+    expired key's late events fall through to the merge stale guard.
     """
     schema = output_schema or changes.schema
     if changes.isStreaming:
         return changes.groupBy(key_col).applyInPandasWithState(
-            _advance,
+            _make_advance(state_ttl_ms),
             outputStructType=schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if state_ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
 
     def batch_fn(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -227,3 +227,46 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
         .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count("*").alias("n"))
         .filter(F.col("n") > 1)
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    radius: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs with Hamming(simhash_a, simhash_b) ≤ radius.
+
+    Pigeonhole banding (the classic Manku/Jain/Sarma web-dedup scheme):
+    split the 63 usable bits into ``bands`` (default radius+1)
+    contiguous bands — two fingerprints within the radius must agree
+    EXACTLY on at least one band, so candidates come from a band-value
+    self-join (shuffle key = (band, band_bits), never a cartesian) and
+    are verified with an exact popcount on the XOR. bit_count is a JVM
+    intrinsic; the verify step is codegen'd."""
+    nb = bands if bands is not None else radius + 1
+    width = 63 // nb  # band b covers bits [b*width, (b+1)*width) (tail bits
+    # land in the last band)
+    fp = simhash64(df, text_col, id_col)
+
+    def band_bits(b: int):
+        lo = b * width
+        hi = 63 if b == nb - 1 else (b + 1) * width
+        mask = ((1 << (hi - lo)) - 1) << lo
+        return F.col("simhash").bitwiseAND(F.lit(mask).cast("long"))
+
+    banded = fp.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[band_bits(b) for b in range(nb)])).alias("band", "bits"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "bits")
+    b2 = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "bits")
+    return (
+        a.join(b2, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )

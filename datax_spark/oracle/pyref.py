@@ -130,6 +130,35 @@ def simhash_rows(sf_dir: str) -> list[tuple]:
     return out
 
 
+def simhash_near_rows(
+    sf_dir: str, radius: int = 3, bands: int | None = None
+) -> list[tuple]:
+    """(id_a, id_b, hamming) — pigeonhole-banded simhash near-dup pairs
+    (engine: operators/dedup.py::simhash_near_pairs)."""
+    nb = bands if bands is not None else radius + 1
+    width = 63 // nb
+    fps = dict(simhash_rows(sf_dir))
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for did, fp in fps.items():
+        for b in range(nb):
+            lo = b * width
+            hi = 63 if b == nb - 1 else (b + 1) * width
+            mask = ((1 << (hi - lo)) - 1) << lo
+            buckets.setdefault((b, fp & mask), []).append(did)
+    out: dict[tuple[int, int], int] = {}
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b2 = ids[i], ids[j]
+                if (a, b2) in out:
+                    continue
+                ham = bin(fps[a] ^ fps[b2]).count("1")
+                if ham <= radius:
+                    out[(a, b2)] = ham
+    return [(a, b2, h) for (a, b2), h in sorted(out.items())]
+
+
 # --------------------------------------------------------- hyperplane LSH
 
 def _signs(dim: int, num_planes: int, seed: int) -> list[list[int]]:

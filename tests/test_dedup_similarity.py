@@ -75,3 +75,15 @@ def test_embedding_near_dup(spark):
     pairs = [(r["id_a"], r["id_b"]) for r in
              embedding_near_dup_pairs(_vectors(spark), dim=4, threshold=0.95).collect()]
     assert pairs == [(0, 1)]
+
+
+def test_simhash_near_pairs_radius(spark):
+    from datax_spark.operators.dedup import simhash_near_pairs
+
+    docs = _docs(spark)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in
+             simhash_near_pairs(docs, radius=8).collect()}
+    # exact dups hammering 0; near dup of 1 within radius; 4 unrelated
+    assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 8
+    assert not any(4 in p for p in pairs)

@@ -66,3 +66,38 @@ def test_streaming_state_survives_across_batches(spark, tmp_path):
     missing = finals.join(out.select("url", "lsn"), ["url", "lsn"], "left_anti").count()
     assert missing == 0
     assert out.count() < ch.count()  # some events were actually filtered
+
+
+def test_streaming_with_state_ttl(spark, tmp_path):
+    """Bounded-state variant: same correctness property with a TTL set
+    (expiry only relaxes the filter; per-key outputs stay strictly
+    increasing within the run)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ch = changes_df(spark, 2000, n_keys=300, partitions=4).cache()
+    for i in range(2):
+        stg = str(tmp_path / f"stg{i}")
+        ch.filter((F.col("lsn") > i * 1000) & (F.col("lsn") <= (i + 1) * 1000)) \
+            .coalesce(1).write.parquet(stg)
+        shutil.move(glob.glob(f"{stg}/part-*.parquet")[0], f"{src}/f{i}.parquet")
+
+    stream = spark.readStream.schema(CHANGE_SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    filtered = lww_advance_filter(stream, state_ttl_ms=60_000)
+    q = (
+        filtered.writeStream.format("memory").queryName("advancing_ttl")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("SELECT * FROM advancing_ttl")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("url").orderBy("warc_ts", "lsn")
+    lagged = out.withColumn("pts", F.lag("warc_ts").over(w)).withColumn("pl", F.lag("lsn").over(w))
+    violations = lagged.filter(
+        F.col("pts").isNotNull()
+        & ((F.col("warc_ts") < F.col("pts"))
+           | ((F.col("warc_ts") == F.col("pts")) & (F.col("lsn") <= F.col("pl"))))
+    ).count()
+    assert violations == 0
+    assert out.count() >= 300  # at least every key's first event
