@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: pin the plan SHAPES the engine's
+scale story depends on (PLANS.md), so an optimizer-hostile refactor
+shows up as a test failure, not a silent 10x.
+"""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from datax_spark.lake.merge import bulk_load, merge_into
+from datax_spark.lake.table import LakeTable
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_change_scan_pushdown(spark):
+    ch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    q = ch.filter(F.col("event_id") > 10_000).select("event_id", "user_id")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "GreaterThan(event_id" in plan
+    # column pruning: the read schema must not include untouched columns
+    assert "value" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_lww_dedup_partial_aggregate(spark):
+    from datax_spark.lake.merge import lww_dedup
+
+    ch = spark.createDataFrame(
+        [(1, "I", "k", 1.0)], "lsn long, op string, url string, v double"
+    ).withColumn("warc_ts", F.timestamp_seconds(F.lit(1704067200)))
+    plan = _plan(lww_dedup(ch, "url", "warc_ts", "lsn"))
+    # map-side combine: a partial max aggregate BEFORE the exchange
+    assert "partial_max" in plan or "partial max" in plan.lower()
+    assert plan.count("Exchange hashpartitioning(url") >= 1
+
+
+def _mk_table(spark, root, nbuckets=4):
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    return LakeTable.create(spark, root, schema, key_col="url", num_buckets=nbuckets)
+
+
+def _pages(spark, n):
+    return spark.range(n).select(
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("warc_ts"),
+        F.lit("en").alias("lang"),
+    )
+
+
+def test_mor_read_collapse_single_shuffle(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t"))
+    bulk_load(t, _pages(spark, 200))
+    ch = _pages(spark, 20).select(
+        F.col("url"), (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        F.lit("de").alias("lang"),
+    ).withColumn("lsn", F.monotonically_increasing_id() + 1000).withColumn("op", F.lit("U"))
+    merge_into(t, ch, merge_mode="mor")
+    plan = _plan(t.read())
+    # LWW collapse: exactly one exchange on the key, partial max present
+    assert plan.count("Exchange hashpartitioning(url") == 1
+    assert "partial_max" in plan or "partial max" in plan.lower()
+
+
+def test_cow_read_has_no_collapse(spark, tmp_path):
+    t = _mk_table(spark, str(tmp_path / "t"))
+    bulk_load(t, _pages(spark, 200))
+    plan = _plan(t.read())
+    # base-only table: plain scan, no aggregate/exchange at all
+    assert "Exchange" not in plan and "Aggregate" not in plan
+
+
+def test_minhash_pair_exchange_drops_signatures(spark):
+    from datax_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", jaccard_threshold=0.5)
+    opt = _optimized(pairs)
+    # the pair-dedup Deduplicate/Aggregate keys must be the slim
+    # projection (id_a, id_b, jaccard_est) — not the sig arrays
+    import re
+
+    dedup_lines = [ln for ln in opt.split("\n") if "Aggregate [id_a" in ln or "Deduplicate" in ln]
+    assert dedup_lines, opt
+    assert all("sig_a" not in ln and "sig_b" not in ln for ln in dedup_lines)
