@@ -230,12 +230,18 @@ def main() -> None:
             html_paragraphs=HTML_PARAGRAPHS,
         ).write.parquet(f"{base}/changes")
         # ---- representative queries at SF_DIR (current session, 4N cores)
+        # min-of-2: the first execution pays plan analysis + cold shuffle
+        # files; the steady-state number is what a resident service sees
         q_times: dict[str, float] = {}
         qs = entry_mod.queries()
         for name in QUERY_NAMES:
-            t0 = time.time()
-            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            q_times[name] = round(time.time() - t0, 2)
+            best = None
+            for _rep in range(2):
+                t0 = time.time()
+                qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            q_times[name] = round(best, 2)
 
         # ---- trickle-batch latency (cow vs mor), 4N session
         trickle_stats = _trickle(spark, base)
