@@ -102,10 +102,17 @@ def _read(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     if name == "jdbcreader":
         from datax_spark.sources.files import read_jdbc_partitioned
 
+        # reference reader modes (CommonRdbmsReader): querySql = free-form
+        # SQL replaces table+column+where; else optional where clause
+        table = p.get("table")
+        if p.get("querySql"):
+            table = f"({p['querySql']}) dx_q"
+        elif p.get("where"):
+            table = f"(SELECT * FROM {table} WHERE {p['where']}) dx_q"
         return read_jdbc_partitioned(
             spark,
             url=p["jdbcUrl"],
-            table=p["table"],
+            table=table,
             split_col=p.get("splitPk"),
             lower=p.get("lowerBound"),
             upper=p.get("upperBound"),
