@@ -123,7 +123,6 @@ def run_stream(
             fence_epoch=fence_epoch,
             merge_mode=merge_mode,
         )
-        write_metrics(table_root, metrics)
         seen["n"] += 1
         if (
             compact_every
@@ -133,6 +132,7 @@ def run_stream(
             snap = table.load().compact_buckets(min_files_per_bucket=2)
             if snap is not None:
                 metrics["compacted_snapshot"] = snap["snapshot_id"]
+        write_metrics(table_root, metrics)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -38,7 +38,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# int64 epoch-nanos + lsn — exact (no float truncation of microseconds)
+# int64 epoch-nanos + lsn — exact (no float truncation of microseconds).
+# NB: state-schema v2 (round 1 stored float seconds); Spark's state store
+# pins the schema per checkpoint, so round-1 checkpoints of THIS operator
+# must be restarted fresh (the merge stale guard makes the replay
+# convergent — same story as a fence-epoch reset).
 STATE_SCHEMA = "max_ts_ns long, max_lsn long"
 
 _TS_MIN = np.iinfo(np.int64).min  # == pandas NaT's int64 value

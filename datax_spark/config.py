@@ -191,6 +191,7 @@ def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
         return {"writer": name, **{k: v for k, v in m.items() if k != "lineage"}}
     if name == "jdbcwriter":
         from datax_spark.sources.files import write_jdbc_batched
+        from datax_spark.sources.jdbc_sql import jdbc_executor
 
         write_jdbc_batched(
             df,
@@ -203,6 +204,10 @@ def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
             post_sql=p.get("postSql"),
             key_cols=p.get("keyColumns"),
             dialect=p.get("dialect", "mysql"),
+            sql_executor=jdbc_executor(
+                spark, p["jdbcUrl"], user=p.get("username"), password=p.get("password")
+            ),
+            **{k: v for k, v in p.get("options", {}).items()},
         )
         return {"writer": name, "table": p["table"]}
     raise ValueError(f"unknown writer {name!r}")

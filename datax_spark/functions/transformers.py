@@ -105,17 +105,32 @@ def dx_filter_cond(col, op: str, value, data_type=None) -> Column:
         return col.isNull() | ~col.cast("string").rlike(f"^(?:{value})$")
     if op not in _FILTER_OPS:
         raise ValueError(f"dx_filter: unknown op {op!r}")
+    if str(value).lower() == "null" and op in ("=", "!="):
+        # null-literal test resolved BEFORE operand parsing — a numeric
+        # column can't parse 'null' (the reference would throw per-record
+        # in its typed branch, FilterTransformer.java:226; here the
+        # null-test is the only sensible whole-column semantics). String
+        # columns additionally compare against the literal text "null".
+        from pyspark.sql import types as T
+
+        stringy = data_type is None or isinstance(
+            data_type, (T.StringType, T.BinaryType, T.BooleanType)
+        )
+        if op == "=":
+            # match (drop) null rows; string rows equal to the text "null" too
+            return col.isNull() | ((col.cast("string") == "null") if stringy else F.lit(False))
+        # '!=': null rows never match (kept, reference :257); non-null
+        # string rows match when their text differs from "null"
+        return (
+            (col.isNotNull() & (col.cast("string") != "null"))
+            if stringy
+            else F.lit(False)
+        )
     target, lit = _filter_operands(col, value, data_type)
     if op == "=":
-        base = target == lit
-        if str(value).lower() == "null":
-            return col.isNull() | base
-        return base
+        return target == lit
     if op == "!=":
-        base = target != lit
-        if str(value).lower() == "null":
-            return base  # null → NULL → kept
-        return col.isNull() | base  # null rows are dropped by '!='
+        return col.isNull() | (target != lit)  # null rows are dropped by '!='
     return {
         ">": target > lit,
         "<": target < lit,

@@ -116,7 +116,11 @@ def merge_into(
     ``post_dedup_transform`` (df → df) runs on the LWW winners only — the
     placement for expensive per-row work like html→text extraction: cost
     scales with unique keys per batch, not raw events (a hot key updated
-    10^6 times in a batch is extracted once).
+    10^6 times in a batch is extracted once). CONTRACT: the transform is
+    an enrichment — it must preserve rows 1:1 and must not modify the
+    key/ts/lsn columns (the CoW path derives touched buckets and lineage
+    from a pre-transform column-pruned projection; a key-rewriting
+    transform would desynchronize them). Enforced structurally below.
 
     ``merge_mode``:
     - ``cow`` (copy-on-write): touched buckets are read, merged, and
@@ -134,7 +138,14 @@ def merge_into(
 
     c = lww_dedup(changes, key, ts_col, lsn_col) if dedup else changes
     if post_dedup_transform is not None:
+        before = set(c.columns)
         c = post_dedup_transform(c)
+        dropped = before - set(c.columns)
+        if dropped:
+            raise ValueError(
+                "post_dedup_transform must be a 1:1 enrichment that keeps "
+                f"all input columns; it dropped {sorted(dropped)}"
+            )
 
     tschema = new_schema if new_schema is not None else table.schema()
     user_cols = [f.name for f in tschema.fields if f.name not in (LSN_COL, DELETED_COL)]

@@ -308,6 +308,20 @@ class LakeTable:
                 )
                 return -1
             return int(rec["batch_id"])
+        if epoch is not None and rec != -1:
+            # legacy int fence (pre-epoch table) queried with an epoch: the
+            # recorded mark's checkpoint generation is unknowable, so
+            # trusting it could silently skip new data if the checkpoint
+            # was recreated. Reset once (convergent re-apply); the next
+            # commit upgrades the fence to the epoch-tagged format.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "stream %s: legacy (epoch-less) fence %s found; RESET under "
+                "epoch %s — batches re-apply once, then the fence is "
+                "epoch-tagged", stream_id, rec, epoch,
+            )
+            return -1
         return int(rec)
 
     # ---------------------------------------------------------------- read

@@ -196,14 +196,23 @@ def read_jdbc_partitioned(
     JDBC source; explicit predicate lists cover the reference's custom
     WHERE-slice mode. (No live database in this sandbox — exercised via
     split-math unit tests.)"""
+    if predicates:
+        # explicit WHERE-slice mode uses the DataFrameReader.jdbc API;
+        # extra options travel as JDBC connection properties there
+        return spark.read.jdbc(
+            url, table, predicates=predicates,
+            properties={k: str(v) for k, v in options.items()},
+        )
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in options.items():
         reader = reader.option(k, v)
-    if predicates:
-        import json as _j  # predicates path requires the DataFrameReader.jdbc API
-
-        return spark.read.jdbc(url, table, predicates=predicates, properties=options)
     if split_col is not None:
+        if lower is None or upper is None:
+            raise ValueError(
+                "split_col requires explicit lower/upper bounds (the "
+                "reference derives min/max with a bounds query first — "
+                "run one and pass the results, or use predicates=[...])"
+            )
         reader = (
             reader.option("partitionColumn", split_col)
             .option("lowerBound", str(lower))

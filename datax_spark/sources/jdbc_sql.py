@@ -111,6 +111,34 @@ def staging_upsert_plan(
     return {"pre": pre, "load_table": stg, "post": post}
 
 
+def jdbc_executor(spark, url: str, user: str | None = None, password: str | None = None):
+    """Default sink-side SQL executor: a java.sql connection via the
+    driver JVM (py4j) — the same DriverManager path the reference uses
+    (``DBUtil.getConnection``). Opens one connection per statement batch;
+    fine for pre/post hooks (a handful of DDL/upsert statements per
+    batch). No live database exists in this sandbox, so this is
+    exercised on real deployments; unit tests inject recording fakes."""
+
+    def run(sql: str) -> None:
+        jvm = spark._sc._jvm  # noqa: SLF001 — py4j bridge is the contract here
+        props = jvm.java.util.Properties()
+        if user is not None:
+            props.setProperty("user", user)
+        if password is not None:
+            props.setProperty("password", password)
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        try:
+            st = conn.createStatement()
+            try:
+                st.execute(sql)
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    return run
+
+
 def execute_sqls(executor, sqls: list[str]) -> None:
     """``WriterUtil.executeSqls``: run statements in order, fail fast with
     the offending statement in the error (the reference wraps it in

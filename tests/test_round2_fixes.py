@@ -190,3 +190,45 @@ def test_sample_frames_fanout_vectorized(spark):
         p = by_id[fr["media_id"]]
         lo = (fr["frame_idx"] * 32) % max(1, len(p))
         assert bytes(fr["frame"]) == p[lo : lo + 32]
+
+
+def test_dx_filter_null_literal_on_typed_columns(spark):
+    # regression: '='/'!=' with the value "null" must not try to parse
+    # 'null' as a number on long/double/date columns
+    df = _df(spark)
+    kept_eq = sorted(r.id for r in dx_filter(df, "n", "=", "null").collect())
+    assert kept_eq == [1, 3, 4]  # only the null-n row (id 2) dropped
+    kept_ne = sorted(r.id for r in dx_filter(df, "n", "!=", "null").collect())
+    assert kept_ne == [1, 2, 3, 4]  # numeric column never text-matches
+
+
+def test_legacy_int_fence_resets_under_epoch(spark, tmp_path):
+    from datax_spark.lake.merge import merge_into
+
+    t = _mk_table(spark, str(tmp_path / "t"))
+    ch = _pages(spark, 5)
+    # legacy commit: no epoch recorded (round-1 format)
+    merge_into(t, ch, stream_id="s", batch_id=7)
+    assert t.last_batch_id("s") == 7  # epoch-less callers still fenced
+    # epoch-aware caller cannot trust an epoch-less mark → reset
+    assert t.last_batch_id("s", "epochX") == -1
+    # next epoch-tagged commit upgrades the fence format
+    merge_into(t, ch, stream_id="s", batch_id=0, fence_epoch="epochX")
+    assert t.last_batch_id("s", "epochX") == 0
+    assert t.last_batch_id("s", "epochY") == -1
+
+
+def test_post_dedup_transform_contract_guard(spark, tmp_path):
+    from datax_spark.lake.merge import merge_into
+
+    t = _mk_table(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="enrichment"):
+        merge_into(t, _pages(spark, 5),
+                   post_dedup_transform=lambda df: df.drop("lang"))
+
+
+def test_jdbc_split_requires_bounds(spark):
+    from datax_spark.sources.files import read_jdbc_partitioned
+
+    with pytest.raises(ValueError, match="bounds"):
+        read_jdbc_partitioned(spark, "jdbc:mysql://h/db", "t", split_col="id")
