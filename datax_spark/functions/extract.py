@@ -91,6 +91,7 @@ _LANG_ORDER = ["en", "de", "fr", "es", "zh"]
 _LANG_SETS = {lg: frozenset(_STOPWORDS[lg]) for lg in _LANG_ORDER}
 
 _NON_ALPHA_RE = re.compile(r"[^A-Za-zÀ-ÿ]+")
+_PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]{}\-]")
 
 
 def _enrich_one(raw: bytes | None):
@@ -117,8 +118,16 @@ def _enrich_one(raw: bytes | None):
     n_alpha = len(_NON_ALPHA_RE.sub("", text))
     alpha_ratio = n_alpha / len(text) if text else 0.0
     sw_ratio = (hits[best] / n_tok) if n_tok else 0.0
+    punct_ratio = (len(_PUNCT_RE.findall(text)) / len(text)) if text else 0.0
+    # same weights as functions/text.py::quality_score (one formula across
+    # the engine); the stopword term here uses the DETECTED language's
+    # hit ratio rather than the fixed-language column variant
     quality = round(
-        0.4 * min(n_tok / 100.0, 1.0) + 0.3 * alpha_ratio + 0.3 * min(sw_ratio * 4, 1.0), 4
+        0.4 * min(n_tok / 100.0, 1.0)
+        + 0.3 * alpha_ratio
+        + 0.2 * min(sw_ratio * 4, 1.0)
+        + 0.1 * (1.0 - min(punct_ratio * 5, 1.0)),
+        4,
     )
     # deterministic 64-bit fingerprint: first 8 bytes of md5 (C-speed)
     fp = int.from_bytes(hashlib.md5(text.encode("utf-8")).digest()[:8], "big", signed=True)

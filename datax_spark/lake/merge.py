@@ -47,6 +47,9 @@ OP_COL = "op"
 # trickle batches; web-page rows are KBs, so cap by rows such that the
 # build stays ~100s of MB. Large backfill batches take the shuffle path.
 DEFAULT_BROADCAST_ROWS = 100_000
+# Key-ONLY broadcast (semi/anti target split) stays viable far beyond
+# the full-row threshold: 5M keys × ~40 B ≈ 200 MB hash relation.
+DEFAULT_KEY_BROADCAST_ROWS = 5_000_000
 
 
 def lww_dedup(changes: DataFrame, key_col: str, ts_col: str, lsn_col: str) -> DataFrame:
@@ -100,6 +103,7 @@ def merge_into(
     stream_id: str | None = None,
     batch_id: int | None = None,
     broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
+    key_broadcast_threshold_rows: int = DEFAULT_KEY_BROADCAST_ROWS,
     dedup: bool = True,
     summary_extra: dict | None = None,
     new_schema=None,
@@ -258,6 +262,14 @@ def merge_into(
     c_aligned = _aligned(c).persist(StorageLevel.MEMORY_AND_DISK)
 
     use_broadcast = 0 < batch_rows <= broadcast_threshold_rows
+    # big batches can't broadcast FULL rows, but the change KEY SET is
+    # ~tens of bytes/key — broadcastable far beyond the row threshold.
+    # A key-only broadcast semi/anti split keeps the UNMATCHED target
+    # rows (the bulk of touched-bucket bytes) out of the merge-join
+    # shuffle entirely: only matched target rows (∝ batch keys) shuffle.
+    # Shuffle bytes are the resource that doesn't scale with cores on a
+    # single box — and the per-node resource a real cluster must conserve.
+    use_key_split = (not use_broadcast) and batch_rows <= key_broadcast_threshold_rows
     c_side = F.broadcast(c_aligned) if use_broadcast else c_aligned
 
     target = table.read(buckets=sorted(touched), include_deleted=True, include_system=True)
@@ -271,7 +283,18 @@ def merge_into(
     target = target.select(*t_aligned_cols)
 
     t_pref = target.select(*[F.col(cn).alias(f"_t_{cn}") for cn in target.columns])
-    joined = t_pref.join(c_side, t_pref[f"_t_{key}"] == c_side[key], "left")
+    untouched = None
+    if use_key_split:
+        c_keys = c_aligned.select(F.col(key).alias("_k"))
+        t_matched = t_pref.join(
+            F.broadcast(c_keys), t_pref[f"_t_{key}"] == F.col("_k"), "left_semi"
+        )
+        untouched = t_pref.join(
+            F.broadcast(c_keys), t_pref[f"_t_{key}"] == F.col("_k"), "left_anti"
+        ).select(*[F.col(f"_t_{f.name}").alias(f.name) for f in tschema.fields])
+        joined = t_matched.join(c_side, t_matched[f"_t_{key}"] == c_side[key], "left")
+    else:
+        joined = t_pref.join(c_side, t_pref[f"_t_{key}"] == c_side[key], "left")
 
     # LWW ordering identical to the MoR read-time collapse (struct max
     # with null ts lowest): a null-ts change loses to any real target ts;
@@ -301,6 +324,8 @@ def merge_into(
         return F.when(c_newer, win).otherwise(lose).alias(name)
 
     survivors = joined.select(*[pick(f.name) for f in tschema.fields])
+    if untouched is not None:
+        survivors = survivors.unionByName(untouched)
 
     # inserts: change keys absent from the touched-bucket target scan.
     # anti-join shuffles only the key column of the target — narrow.
