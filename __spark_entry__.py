@@ -327,6 +327,16 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, queries, dim=dim, k=10)
 
 
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datax_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (brute-force) cosine near-dup pairs — oracle-checkable; the
     LSH-bucketed variant is the scale path (rows-only)."""
@@ -530,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": _q_dedup_simhash_near,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
         "stream_source_const": _q_stream_source,
         "media_features": _q_media_features,
@@ -893,6 +904,10 @@ def _pyref_oracles() -> dict[str, str]:
         "dedup_minhash_keep": pyref.values_sql(
             pyref.minhash_keep_rows(sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5),
             [("doc_id", "BIGINT")],
+        ),
+        "ann_ivf_topk": pyref.values_sql(
+            pyref.ivf_topk_rows(sf_dir, k=10, n_centroids=16, n_probe=4),
+            [("qid", "BIGINT"), ("vec_id", "BIGINT"), ("cosine", "DOUBLE"), ("rank", "INTEGER")],
         ),
         "ann_recall": pyref.values_sql(
             pyref.ann_recall_rows(sf_dir, k=10, num_planes=6, num_tables=6),

@@ -178,6 +178,76 @@ def embedding_near_dup_pairs(
     )
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors partition by nearest
+    centroid; a query probes its ``n_probe`` nearest centroid lists and
+    exact-reranks the candidates.
+
+    ``centroids`` is (cid, cvec) — trained offline in production (the
+    standard IVF workflow); defaults to the ``n_centroids``
+    lowest-id corpus vectors as deterministic seeds so the operator is
+    self-contained and oracle-checkable. Scale shape: assignment is a
+    broadcast-centroid projection (no shuffle), the search joins on
+    centroid id — candidate volume ∝ n_probe/n_centroids of the corpus.
+    """
+    if centroids is None:
+        centroids = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.asc(id_col))
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        )
+    cents = F.broadcast(centroids)
+
+    def _nearest(vec, n: int):
+        """array of the n nearest centroid ids by cosine (ties → lower cid)."""
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (-cosine(vec, c["cvec"].cast("array<double>"))).alias("neg"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, n)
+
+    packed = cents.agg(
+        F.collect_list(F.struct("cid", "cvec")).alias("_c")
+    ).select(F.array_sort("_c").alias("_c"))
+    c_assigned = (
+        rebalance_for_cpu(corpus.select(id_col, vec_col))
+        .join(F.broadcast(packed.select(F.col("_c").alias("_cents"))))
+        .withColumn("cid", F.element_at(_nearest(F.col(vec_col).cast("array<double>"), 1), 1))
+        .drop("_cents")
+    )
+    q_probes = (
+        queries.select(qid_col, qvec_col)
+        .join(F.broadcast(packed.select(F.col("_c").alias("_cents"))))
+        .withColumn("cid", F.explode(_nearest(F.col(qvec_col).cast("array<double>"), n_probe)))
+        .drop("_cents")
+    )
+    cand = c_assigned.join(F.broadcast(q_probes), "cid").withColumn(
+        "cosine",
+        F.round(cosine(F.col(vec_col).cast("array<double>"), F.col(qvec_col).cast("array<double>")), 4),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
 def lsh_recall(
     corpus: DataFrame,
     queries: DataFrame,

@@ -274,6 +274,39 @@ def ann_recall_rows(
     return [(n_queries, recall)]
 
 
+def ivf_topk_rows(
+    sf_dir: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_queries: int = 5,
+) -> list[tuple]:
+    """(qid, vec_id, cosine, rank) — IVF ANN with deterministic seed
+    centroids (lowest-id vectors), nearest-centroid assignment, n_probe
+    search, exact rerank (engine: similarity.py::cosine_topk_ivf)."""
+    emb = _load_pandas(sf_dir, "embeddings")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+    cents = [(cid, vecs[cid]) for cid in sorted(vecs)[:n_centroids]]
+
+    def nearest(v, n):
+        scored = sorted(((-_cosine(v, cv), cid) for cid, cv in cents))
+        return [cid for _neg, cid in scored[:n]]
+
+    assign = {vid: nearest(v, 1)[0] for vid, v in vecs.items()}
+    out = []
+    for qid in sorted(vid for vid in vecs if vid < n_queries):
+        probes = set(nearest(vecs[qid], n_probe))
+        cands = [
+            (vid, _round_half_up(_cosine(vecs[vid], vecs[qid]), 4))
+            for vid, cid in assign.items()
+            if cid in probes
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, cos) in enumerate(cands[:k], start=1):
+            out.append((qid, vid, cos, rank))
+    return out
+
+
 # --------------------------------------------------------- media features
 
 def media_features_rows(n: int = 200) -> list[tuple]:

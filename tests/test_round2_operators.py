@@ -273,3 +273,21 @@ def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
     # cap drops the all-docs shingle: 1-2 still found via rare shingles,
     # 1-3 (hot-shingle-only overlap) disappears
     assert (1, 2) in capped and (1, 3) not in capped
+
+
+def test_ivf_topk_recall_above_floor(spark):
+    from datax_spark.operators.similarity import cosine_topk, cosine_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = cosine_topk(emb, queries, k=10).select("qid", "vec_id")
+    approx = cosine_topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4).select("qid", "vec_id")
+    n_exact = exact.count()
+    recall = exact.join(approx, ["qid", "vec_id"]).count() / n_exact
+    # n_probe/n_centroids = 1/4 of the corpus scanned; seed (untrained)
+    # centroids on near-random vectors — floor pinned from measurement
+    assert recall >= 0.4, recall
+    # every query must at least find itself (it lives in a probed list)
+    assert approx.filter(F.col("qid") == F.col("vec_id")).count() == 20
