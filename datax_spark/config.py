@@ -207,6 +207,11 @@ def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
             sql_executor=jdbc_executor(
                 spark, p["jdbcUrl"], user=p.get("username"), password=p.get("password")
             ),
+            # credentials reach the Spark bulk INSERT too, not just the
+            # pre/post executor (a DataX-style top-level username/password
+            # config must authenticate the data load)
+            user=p.get("username"),
+            password=p.get("password"),
             **{k: v for k, v in p.get("options", {}).items()},
         )
         return {"writer": name, "table": p["table"]}

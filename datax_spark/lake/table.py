@@ -104,10 +104,20 @@ def _atomic_write_manifest(path: str, entries: list[dict]) -> None:
 def _read_manifest(path: str) -> list[dict]:
     if path.endswith(".json"):  # round-1 tables keep working
         with open(path) as f:
-            return json.load(f)
-    import pyarrow.parquet as pq
+            entries = json.load(f)
+    else:
+        import pyarrow.parquet as pq
 
-    return pq.read_table(path).to_pylist()
+        entries = pq.read_table(path).to_pylist()
+    # legacy entries (round-1 JSON manifests, or JSON entries round-tripped
+    # through the parquet manifest) may carry deleted=None / missing stats;
+    # normalize so downstream arithmetic never sees None counts.
+    for e in entries:
+        if e.get("deleted") is None:
+            e["deleted"] = 0
+        if e.get("kind") is None:
+            e["kind"] = "base"
+    return entries
 
 
 def _parquet_stats(path: str) -> tuple[int, int, int | None, int | None]:
@@ -384,7 +394,14 @@ class LakeTable:
         # versions lose to any real timestamp.
         if entries and any(e.get("kind") == "delta" for e in entries):
             key = m["key_col"]
-            ts_col = m["properties"].get("lww_ts_col", "warc_ts")
+            ts_col = m["properties"].get("lww_ts_col")
+            if ts_col is None:
+                raise ValueError(
+                    "table has merge-on-read delta files but no 'lww_ts_col' "
+                    "property pinning the collapse ordering column — delta "
+                    "entries must be committed via merge_into(merge_mode='mor') "
+                    "(which pins it) or the property set explicitly"
+                )
             ordered = [ts_col, LSN_COL] + [
                 c for c in cur_names if c not in (key, ts_col, LSN_COL)
             ]
@@ -497,7 +514,7 @@ class LakeTable:
         total = sum(e["records"] for e in manifest)
         # live excludes tombstones (files written before the "deleted"
         # stat existed count as all-live — a documented legacy upper bound)
-        live = total - sum(e.get("deleted", 0) for e in manifest)
+        live = total - sum(e.get("deleted") or 0 for e in manifest)
         summary = {
             "operation": operation,
             "added_files": len(new_entries),
@@ -592,6 +609,17 @@ class LakeTable:
         because ``vacuum`` only deletes files unreferenced by every
         RETAINED snapshot (the Iceberg expire_snapshots contract)."""
         m = self._require_meta()
+        # same optimistic-concurrency check as commit(): without it a
+        # concurrent writer's commit could be silently clobbered/forked by
+        # the v+1 metadata write below.
+        hint = os.path.join(self._meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                disk_v = int(json.load(f))
+            if disk_v != self._loaded_version:
+                raise CommitConflict(
+                    f"table advanced to v{disk_v} (loaded v{self._loaded_version})"
+                )
         keep_last = max(1, keep_last)
         snaps = m["snapshots"]
         if len(snaps) <= keep_last:

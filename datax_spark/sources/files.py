@@ -122,6 +122,9 @@ def write_jdbc_batched(
     key_cols: list[str] | None = None,
     dialect: str = "mysql",
     sql_executor=None,
+    user: str | None = None,
+    password: str | None = None,
+    staging_token: str | None = None,
     **options,
 ):
     """JDBC sink with CommonRdbmsWriter semantics
@@ -142,7 +145,16 @@ def write_jdbc_batched(
     - ``batchSize`` maps to the JDBC option of the same name (reference
       default ``Constant.DEFAULT_BATCH_SIZE``; benchmarks show ≥512
       required for throughput, ``mysqlwriter/doc/mysqlwriter.md:332-335``).
+    - ``user``/``password`` authenticate BOTH the sink-side statements
+      (via the caller's executor) and Spark's bulk INSERT (injected as
+      JDBC options here).
+    - the staging table name carries a per-run unique token
+      (``staging_token``; generated when absent) so concurrent upsert
+      jobs against the same target cannot DROP/CREATE each other's
+      staging table mid-load.
     """
+    import uuid as _uuid
+
     from datax_spark.sources.jdbc_sql import (
         execute_sqls,
         render_pre_post_sqls,
@@ -151,12 +163,18 @@ def write_jdbc_batched(
 
     if write_mode not in ("insert", "replace", "update"):
         raise ValueError(f"unknown writeMode {write_mode!r}")
+    if user is not None:
+        options.setdefault("user", user)
+    if password is not None:
+        options.setdefault("password", password)
     executor = sql_executor or _no_executor
     load_table = table
     plan_post: list[str] = []
     if write_mode != "insert":
+        token = staging_token if staging_token is not None else _uuid.uuid4().hex[:8]
         plan = staging_upsert_plan(
-            table, df.columns, key_cols or [], dialect=dialect
+            table, df.columns, key_cols or [], dialect=dialect,
+            staging=f"{table}_datax_stg_{token}" if token else None,
         )
         execute_sqls(executor, plan["pre"])
         load_table = plan["load_table"]

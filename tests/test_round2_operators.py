@@ -121,6 +121,7 @@ def test_write_jdbc_upsert_orchestration_order():
         df, "jdbc:mysql://h/db", "t", write_mode="update", key_cols=["k"],
         pre_sql=["truncate @table_audit"], post_sql=["analyze table @table"],
         sql_executor=lambda s: log.append(("sql", s)),
+        staging_token="",  # deterministic legacy staging name for assertion
     )
     kinds = [(k, v) for k, v in log]
     # staging pre → user preSql → batch load into staging → upsert+drop → user postSql
