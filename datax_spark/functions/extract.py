@@ -97,22 +97,25 @@ _PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]{}\-]")
 def _enrich_one(raw: bytes | None):
     """extract + language-id + token count + quality + fingerprint.
 
-    Everything per-character runs in C (regex/str builtins/hashlib) —
-    the python-level work is O(tokens), not O(bytes), which is what keeps
-    an Arrow batch of thousands of documents inside the UDF time budget.
+    Everything per-character runs in C (regex/str builtins/hashlib).
+    Language scoring iterates the small FIXED lexicons against a token
+    Counter — O(Σ|lexicon|) dict lookups per document (a few hundred)
+    instead of the round-2 O(tokens × languages) python loop, and
+    sum-over-lexicon-of-counts ≡ sum-over-tokens-of-membership, so the
+    scores (and the byte-identical text invariant) are unchanged.
     """
     import hashlib
+    from collections import Counter
 
     text = extract_text(raw)
     if text is None:
         return None, None, None, None, None
     toks = text.lower().split()
     n_tok = len(toks)
-    hits = {lg: 0 for lg in _LANG_ORDER}
-    for w in toks:
-        for lg in _LANG_ORDER:
-            if w in _LANG_SETS[lg]:
-                hits[lg] += 1
+    cnt = Counter(toks)
+    hits = {
+        lg: sum(cnt[w] for w in _LANG_SETS[lg] if w in cnt) for lg in _LANG_ORDER
+    }
     best = max(_LANG_ORDER, key=lambda lg: (hits[lg], -_LANG_ORDER.index(lg)))
     lang = best if hits[best] > 0 else "und"
     n_alpha = len(_NON_ALPHA_RE.sub("", text))

@@ -17,17 +17,29 @@ where ``c_newer`` is the cross-batch last-writer-wins guard
 which is what makes batch retries + out-of-order arrival convergent
 (SURVEY §7.4 risks 1-2).
 
-Scale design:
+Scale design (round 3 — ONE exchange per copy-on-write merge):
 - changes are LWW-deduped to one row per key with a *hash aggregate*
   (``max_by``-style struct max), not a window sort — partial map-side
   combine absorbs hot-key skew before any shuffle (salting is implicit in
-  partial aggregation; AQE skew-join covers the join stage).
+  partial aggregation; AQE covers residual skew).
 - only buckets containing changed keys are read and rewritten
-  (manifest-driven copy-on-write); merge cost ∝ batch, not table.
-- the deduped batch is broadcast to the target scan when small (the common
-  CDC case), so the wide target rows never shuffle; the insert anti-join
-  shuffles a key-only projection. Set ``broadcast_threshold_rows=0`` to
-  force the shuffle path (for huge backfill batches).
+  (manifest-driven copy-on-write); merge cost ∝ batch + touched buckets,
+  never table size.
+- the merge itself is NOT a join: the touched-bucket target scan and the
+  deduped change batch are unioned and collapsed with the SAME LWW
+  struct-max aggregate the merge-on-read path uses at read time
+  (byte-identical ordering, pinned by the CoW/MoR convergence suite).
+  The union is repartitioned by the table's bucket id BEFORE the
+  aggregate; because the bucket id is part of the grouping key, Catalyst
+  proves the partitioning satisfies the aggregate's distribution AND the
+  bucket-partitioned file write — so dedup-collapse and write share ONE
+  exchange of (touched target + batch) rows. No merge-join, no
+  driver-built broadcast hash relations, no separate insert anti-join,
+  no second repartition for the writer. (Round 2 shipped a key-broadcast
+  semi/anti target split here; it double-scanned the target and built two
+  multi-million-row driver relations per bulk batch — the round-2 replay
+  regression. Kept as ``merge_mode="cow-join"`` for interleaved A/B
+  benchmarking only.)
 """
 
 from __future__ import annotations
@@ -35,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from datax_spark.lake.table import (
+    BUCKET_COL,
     DELETED_COL,
     LSN_COL,
     LakeTable,
@@ -42,14 +55,14 @@ from datax_spark.lake.table import (
 )
 
 OP_COL = "op"
-# Broadcast builds the whole deduped batch into a driver-side hash
-# relation — single-threaded and O(batch bytes). Worth it only for
-# trickle batches; web-page rows are KBs, so cap by rows such that the
-# build stays ~100s of MB. Large backfill batches take the shuffle path.
+# legacy cow-join tuning knobs (see merge_mode="cow-join" below)
 DEFAULT_BROADCAST_ROWS = 100_000
-# Key-ONLY broadcast (semi/anti target split) stays viable far beyond
-# the full-row threshold: 5M keys × ~40 B ≈ 200 MB hash relation.
 DEFAULT_KEY_BROADCAST_ROWS = 5_000_000
+# buckets hash into 4× as many shuffle partitions so two large buckets
+# rarely collide into one task (balls-in-bins: ~12% collision at 4×
+# instead of ~37% at 1×); any count works for correctness because the
+# bucket id is the partitioning key either way.
+BUCKET_PARTITION_FACTOR = 4
 
 
 def lww_dedup(changes: DataFrame, key_col: str, ts_col: str, lsn_col: str) -> DataFrame:
@@ -94,6 +107,53 @@ def bulk_load(
     return table.commit(entries, set(), operation=operation)
 
 
+def cow_union_plan(
+    table: LakeTable,
+    delta: DataFrame,
+    touched: list[int],
+    tschema,
+    ts_col: str,
+) -> DataFrame:
+    """The single-exchange copy-on-write merge plan (exposed for plan
+    tests): union the touched-bucket target scan with the aligned change
+    delta, repartition by bucket id, and collapse to the LWW winner per
+    key with the same struct-max ordering as the MoR read-time collapse.
+
+    Output carries ``_bucket`` and is partitioned by it — feed straight
+    to ``write_data_files(..., prepartitioned=True)`` so the write adds
+    no further shuffle.
+    """
+    key = table.key_col
+    nb = table.num_buckets
+    names = tschema.field_names()
+
+    target = table.read(buckets=sorted(touched), include_deleted=True, include_system=True)
+    t_cols = []
+    for f in tschema.fields:
+        if f.name in target.columns:
+            t_cols.append(F.col(f.name).cast(f.type).alias(f.name))
+        else:
+            t_cols.append(F.lit(None).cast(f.type).alias(f.name))
+    target = target.select(*t_cols)
+
+    merged = target.unionByName(delta.select(*names))
+    ordered = [ts_col, LSN_COL] + [n for n in names if n not in (key, ts_col, LSN_COL)]
+    npart = max(1, min(nb, len(touched)) * BUCKET_PARTITION_FACTOR)
+    return (
+        merged.withColumn(BUCKET_COL, bucket_expr(key, nb))
+        .repartition(npart, F.col(BUCKET_COL))
+        .groupBy(BUCKET_COL, key)
+        .agg(F.max(F.struct(*[F.col(c) for c in ordered])).alias("_w"))
+        .select(
+            *[
+                (F.col(key) if n == key else F.col(f"_w.{n}").alias(n))
+                for n in names
+            ],
+            F.col(BUCKET_COL),
+        )
+    )
+
+
 def merge_into(
     table: LakeTable,
     changes: DataFrame,
@@ -114,6 +174,8 @@ def merge_into(
     """Apply a batch of change events to ``table``; returns the snapshot.
 
     ``changes`` columns: key, op ('I'|'U'|'D'), ts_col, lsn_col, payload...
+    Null keys must be routed to quarantine upstream (cdc.apply does); the
+    collapse groups by key, so a null key is not a valid change identity.
     Schema evolution (``new_schema``) is resolved by the caller
     (cdc.apply) so quarantine can intercept incompatible rows first.
 
@@ -127,8 +189,9 @@ def merge_into(
     transform would desynchronize them). Enforced structurally below.
 
     ``merge_mode``:
-    - ``cow`` (copy-on-write): touched buckets are read, merged, and
-      rewritten — reads stay collapse-free, writes cost ∝ bucket size.
+    - ``cow`` (copy-on-write): touched buckets are read, union-collapsed
+      with the batch (one exchange — see module docstring), and
+      rewritten. Reads stay collapse-free; write cost ∝ bucket size.
       Right for backfills and low-frequency large batches.
     - ``mor`` (merge-on-read): the deduped batch is appended as DELTA
       files only — no target read, no bucket rewrite; ``table.read()``
@@ -136,6 +199,10 @@ def merge_into(
       deltas back into base files. Right for trickle batches, where CoW
       would rewrite whole buckets for a handful of keys. Both modes
       produce byte-identical table state (same LWW ordering).
+    - ``cow-join``: the round-2 merge-join implementation (broadcast /
+      key-broadcast-split / sort-merge by ``*_threshold_rows``). Kept
+      ONLY as the interleaved A/B baseline for benchmarking the union
+      path; produces identical state.
     """
     key = table.key_col
     nb = table.num_buckets
@@ -171,14 +238,9 @@ def merge_into(
             *aligned_cols,
         )
 
-    if merge_mode == "mor":
-        # Append-only delta write: ONE Spark job — dedup/enrichment flow
-        # straight into the bucket-partitioned write, with no target
-        # scan, no bucket rewrite, no persist, and no separate stats job
-        # (per-bucket lineage = the _lsn min/max + row counts the writer
-        # already reads from the parquet footers). Stale/duplicate
-        # versions simply lose at read-time collapse — no guard needed.
-        delta = _aligned(c).select(
+    def _delta(df):
+        """Aligned changes in full table-schema shape: op→_deleted, lsn."""
+        return _aligned(df).select(
             *[
                 (
                     F.col("_clsn").alias(LSN_COL)
@@ -190,7 +252,15 @@ def merge_into(
                 for f in tschema.fields
             ]
         )
-        entries = table.write_data_files(delta, tschema, kind="delta")
+
+    if merge_mode == "mor":
+        # Append-only delta write: ONE Spark job — dedup/enrichment flow
+        # straight into the bucket-partitioned write, with no target
+        # scan, no bucket rewrite, no persist, and no separate stats job
+        # (per-bucket lineage = the _lsn min/max + row counts the writer
+        # already reads from the parquet footers). Stale/duplicate
+        # versions simply lose at read-time collapse — no guard needed.
+        entries = table.write_data_files(_delta(c), tschema, kind="delta")
         batch_rows = sum(e["records"] for e in entries)
         lineage: dict[int, dict] = {}
         for e in entries:
@@ -213,19 +283,15 @@ def merge_into(
             # pin the read-time collapse ordering column on first use
             properties_update={"lww_ts_col": ts_col},
         )
-    if merge_mode != "cow":
-        raise ValueError(f"unknown merge_mode {merge_mode!r} (cow|mor)")
+    if merge_mode not in ("cow", "cow-join"):
+        raise ValueError(f"unknown merge_mode {merge_mode!r} (cow|mor|cow-join)")
 
-    # ---- copy-on-write path: bucket pruning requires the touched-bucket
-    # set BEFORE the target scan, so one stats job precedes the write.
-    # The stats job runs over a COLUMN-PRUNED (key, ts, lsn) projection
-    # of the raw changes — dedup of three narrow columns — instead of
-    # persisting the full enriched batch: the parquet scan reads only
-    # those columns (pushdown-verified), the stats shuffle carries ~24 B
-    # rows, and the multi-KB payload + Arrow enrichment run exactly once
-    # inside the write job (no multi-GB cache materialization between
-    # jobs — measured round 1's persist cost DRAM bandwidth that didn't
-    # scale across cores).
+    # ---- copy-on-write: bucket pruning requires the touched-bucket set
+    # BEFORE the target scan, so one stats job precedes the write. It
+    # runs over a COLUMN-PRUNED (key, ts, lsn) projection of the raw
+    # changes — the parquet scan reads only those columns (pushdown-
+    # verified), the stats shuffle carries ~24 B rows, and the multi-KB
+    # payload + Arrow enrichment run exactly once inside the write job.
     narrow = changes.select(
         F.col(key), F.col(ts_col).cast("timestamp").alias("_ts"),
         F.col(lsn_col).cast("bigint").alias("_l"),
@@ -254,26 +320,47 @@ def merge_into(
                             batch_id=batch_id, summary_extra=summary_extra,
                             new_schema=new_schema, fence_epoch=fence_epoch)
 
-    # The enriched batch feeds two consumers in the write job (survivors
-    # join + insert anti-join); persist so dedup + Arrow enrichment run
-    # once. Batches are trigger-bounded; DISK spill keeps this safe.
+    if merge_mode == "cow":
+        final = cow_union_plan(table, _delta(c), sorted(touched), tschema, ts_col)
+        entries = table.write_data_files(final, tschema, prepartitioned=True)
+        strategy = "cow-union"
+    else:
+        final, c_persisted = _cow_join_legacy(
+            table, c, _aligned, tschema, sorted(touched), batch_rows,
+            key, ts_col, broadcast_threshold_rows, key_broadcast_threshold_rows,
+        )
+        entries = table.write_data_files(final, tschema)
+        c_persisted.unpersist()
+        strategy = "cow-join"
+    extra = {"lineage": lineage, "batch_rows": batch_rows, "merge_strategy": strategy}
+    extra.update(summary_extra or {})
+    return table.commit(
+        entries,
+        replaced_buckets=touched,
+        operation="merge",
+        stream_id=stream_id,
+        batch_id=batch_id,
+        summary_extra=extra,
+        new_schema=new_schema,
+        fence_epoch=fence_epoch,
+    )
+
+
+def _cow_join_legacy(
+    table, c, _aligned, tschema, touched, batch_rows,
+    key, ts_col, broadcast_threshold_rows, key_broadcast_threshold_rows,
+):
+    """Round-2 merge-join CoW (broadcast / key-split / SMJ). Benchmark
+    baseline only — see merge_mode='cow-join'. Returns (final DF,
+    persisted change handle for the caller to unpersist after writing)."""
     from pyspark import StorageLevel
 
     c_aligned = _aligned(c).persist(StorageLevel.MEMORY_AND_DISK)
-
     use_broadcast = 0 < batch_rows <= broadcast_threshold_rows
-    # big batches can't broadcast FULL rows, but the change KEY SET is
-    # ~tens of bytes/key — broadcastable far beyond the row threshold.
-    # A key-only broadcast semi/anti split keeps the UNMATCHED target
-    # rows (the bulk of touched-bucket bytes) out of the merge-join
-    # shuffle entirely: only matched target rows (∝ batch keys) shuffle.
-    # Shuffle bytes are the resource that doesn't scale with cores on a
-    # single box — and the per-node resource a real cluster must conserve.
     use_key_split = (not use_broadcast) and batch_rows <= key_broadcast_threshold_rows
     c_side = F.broadcast(c_aligned) if use_broadcast else c_aligned
 
-    target = table.read(buckets=sorted(touched), include_deleted=True, include_system=True)
-    # target rows aligned to evolved schema too
+    target = table.read(buckets=touched, include_deleted=True, include_system=True)
     t_aligned_cols = []
     for f in tschema.fields:
         if f.name in target.columns:
@@ -296,9 +383,6 @@ def merge_into(
     else:
         joined = t_pref.join(c_side, t_pref[f"_t_{key}"] == c_side[key], "left")
 
-    # LWW ordering identical to the MoR read-time collapse (struct max
-    # with null ts lowest): a null-ts change loses to any real target ts;
-    # a null-ts target loses to any real change ts; both null → lsn.
     c_newer = F.col(key).isNotNull() & (
         (F.col("_cts") > F.col(f"_t_{ts_col}"))
         | ((F.col("_cts") == F.col(f"_t_{ts_col}")) & (F.col("_clsn") > F.col(f"_t_{LSN_COL}")))
@@ -327,8 +411,6 @@ def merge_into(
     if untouched is not None:
         survivors = survivors.unionByName(untouched)
 
-    # inserts: change keys absent from the touched-bucket target scan.
-    # anti-join shuffles only the key column of the target — narrow.
     t_keys = target.select(key)
     inserts = (
         c_aligned.join(t_keys, on=key, how="left_anti")
@@ -344,24 +426,5 @@ def merge_into(
                 for f in tschema.fields
             ]
         )
-        # a D for a key we've never seen still writes a tombstone so that
-        # an out-of-order older I/U arriving later stays dead
     )
-
-    final = survivors.unionByName(inserts)
-
-    entries = table.write_data_files(final, tschema)
-    c_aligned.unpersist()
-    extra = {"lineage": lineage, "batch_rows": batch_rows,
-             "merge_strategy": "broadcast" if use_broadcast else "shuffle"}
-    extra.update(summary_extra or {})
-    return table.commit(
-        entries,
-        replaced_buckets=touched,
-        operation="merge",
-        stream_id=stream_id,
-        batch_id=batch_id,
-        summary_extra=extra,
-        new_schema=new_schema,
-        fence_epoch=fence_epoch,
-    )
+    return survivors.unionByName(inserts), c_aligned

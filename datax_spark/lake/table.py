@@ -432,7 +432,9 @@ class LakeTable:
         return int(snap["summary"].get("live_rows", 0))
 
     # --------------------------------------------------------------- write
-    def write_data_files(self, df: DataFrame, schema, kind: str = "base") -> list[dict]:
+    def write_data_files(
+        self, df: DataFrame, schema, kind: str = "base", prepartitioned: bool = False
+    ) -> list[dict]:
         """Write a dataframe as bucket-partitioned data files; return manifest
         entries. ``schema`` is the TableSchema the files are written under
         (may be a not-yet-committed evolved schema); ``df`` must already
@@ -447,15 +449,24 @@ class LakeTable:
         explosion); dynamic partition write splits multi-bucket tasks
         per-directory. At cluster scale the same pattern holds; add
         ``maxRecordsPerFile`` if buckets outgrow a single file.
+
+        ``prepartitioned=True``: the caller guarantees ``df`` already
+        carries ``_bucket`` and is partitioned by it (e.g. the CoW
+        union-collapse plan) — the writer adds NO shuffle of its own.
         """
         ts = schema
         write_id = f"w-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self._data_dir, write_id)
-        out = (
-            df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.num_buckets))
-            .repartition(F.col(BUCKET_COL))
-            .select(*(ts.field_names() + [BUCKET_COL]))
-        )
+        if prepartitioned:
+            if BUCKET_COL not in df.columns:
+                raise ValueError(f"prepartitioned write requires a {BUCKET_COL} column")
+            out = df.select(*(ts.field_names() + [BUCKET_COL]))
+        else:
+            out = (
+                df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.num_buckets))
+                .repartition(F.col(BUCKET_COL))
+                .select(*(ts.field_names() + [BUCKET_COL]))
+            )
         out.write.partitionBy(BUCKET_COL).parquet(out_dir)
         entries: list[dict] = []
         for bdir in sorted(glob.glob(os.path.join(out_dir, f"{BUCKET_COL}=*"))):

@@ -93,3 +93,31 @@ def test_minhash_pair_exchange_drops_signatures(spark):
     dedup_lines = [ln for ln in opt.split("\n") if "Aggregate [id_a" in ln or "Deduplicate" in ln]
     assert dedup_lines, opt
     assert all("sig_a" not in ln and "sig_b" not in ln for ln in dedup_lines)
+
+
+def test_cow_union_merge_single_exchange_for_target_and_write(spark, tmp_path):
+    """Round-3 plan pin: the CoW merge is union + LWW collapse; the
+    touched-bucket TARGET scan flows through exactly ONE exchange (the
+    bucket repartition), the collapse aggregate adds none (the bucket id
+    is part of the grouping key, so the repartition satisfies its
+    distribution), and the prepartitioned write adds none either. The
+    only other exchange in a full merge is lww_dedup's batch-only
+    shuffle, which this plan excludes (changes pre-deduped here)."""
+    from datax_spark.lake.merge import cow_union_plan
+    from datax_spark.lake.table import DELETED_COL, LSN_COL
+
+    t = _mk_table(spark, str(tmp_path / "t"), nbuckets=4)
+    bulk_load(t, _pages(spark, 200))
+    delta = _pages(spark, 20).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        F.lit("de").alias("lang"),
+        (F.monotonically_increasing_id() + 1000).alias(LSN_COL),
+        F.lit(False).alias(DELETED_COL),
+    )
+    plan_df = cow_union_plan(t, delta, [0, 1, 2, 3], t.schema(), "warc_ts")
+    plan = _plan(plan_df)
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(_bucket" in plan
+    # and the write path adds no shuffle on top (prepartitioned write is
+    # a plain select of this plan)
