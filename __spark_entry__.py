@@ -160,6 +160,34 @@ def _q_cdc_multiver_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_cell_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-granular multi-version APPLY (reference
+    MultiVerModeRecordSender.java:21-128 opTypes U/DO/DA/DR): decode the
+    event stream into per-cell changes, then collapse to final rows with
+    per-column latest-cell-wins + range tombstones. Closes round-2's
+    whole-row-LWW gap (a partial-column update no longer clobbers
+    untouched columns)."""
+    from datax_spark.cdc.cells import collapse_cell_changes
+
+    ch = _as_changes(load(spark, sf_dir, "events"))
+    cells = ch.select(
+        F.col("user_id").alias("pk"),
+        F.when(F.col("lsn") % 3 == 0, "c0")
+        .when(F.col("lsn") % 3 == 1, "c1")
+        .otherwise("c2")
+        .alias("col_name"),
+        "ts",
+        "lsn",
+        F.when(F.col("lsn") % 10 <= 6, "U")
+        .when(F.col("lsn") % 10 == 7, "DO")
+        .when(F.col("lsn") % 10 == 8, "DA")
+        .otherwise("DR")
+        .alias("op"),
+        F.concat_ws("_", F.col("event_type"), (F.col("lsn") % 100).cast("string")).alias("value"),
+    )
+    return collapse_cell_changes(cells, ["c0", "c1", "c2"])
+
+
 def _q_dx_string_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.functions.transformers import dx_pad, dx_replace, dx_substr
 
@@ -524,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_mix": _q_cdc_op_mix,
         "cdc_out_of_order": _q_cdc_out_of_order,
         "cdc_multiver_fanout": _q_cdc_multiver_fanout,
+        "cdc_cell_merge": _q_cdc_cell_merge,
         "dx_string_transforms": _q_dx_string_transforms,
         "dx_filter_digest": _q_dx_filter_digest,
         "split_range_assign": _q_split_range_assign,
@@ -591,6 +620,54 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT user_id, lsn, 'value' AS col_name, CAST(round(value, 4) AS VARCHAR) AS col_value
             FROM ch WHERE op <> 'D'
+        """,
+        "cdc_cell_merge": f"""
+            WITH ch AS ({ch}),
+            cells AS (
+              SELECT user_id AS pk,
+                     CASE CAST(lsn % 3 AS INT) WHEN 0 THEN 'c0' WHEN 1 THEN 'c1' ELSE 'c2' END AS col_name,
+                     ts, lsn,
+                     CASE WHEN lsn % 10 <= 6 THEN 'U' WHEN lsn % 10 = 7 THEN 'DO'
+                          WHEN lsn % 10 = 8 THEN 'DA' ELSE 'DR' END AS op,
+                     event_type || '_' || CAST(lsn % 100 AS VARCHAR) AS value
+              FROM ch
+            ),
+            ver AS (  -- per-version winner among U/DO: max lsn (log causality)
+              SELECT pk, col_name, ts, lsn, op, value,
+                     row_number() OVER (PARTITION BY pk, col_name, ts ORDER BY lsn DESC) AS rn
+              FROM cells WHERE op IN ('U', 'DO')
+            ),
+            alive AS (
+              SELECT pk, col_name, ts, lsn, value,
+                     row_number() OVER (PARTITION BY pk, col_name ORDER BY ts DESC, lsn DESC) AS wrn
+              FROM ver WHERE rn = 1 AND op = 'U'
+            ),
+            da AS (
+              SELECT pk, col_name, ts AS dts, lsn AS dlsn FROM (
+                SELECT pk, col_name, ts, lsn,
+                       row_number() OVER (PARTITION BY pk, col_name ORDER BY ts DESC, lsn DESC) AS rn
+                FROM cells WHERE op = 'DA') WHERE rn = 1
+            ),
+            dr AS (
+              SELECT pk, ts AS rts, lsn AS rlsn FROM (
+                SELECT pk, ts, lsn,
+                       row_number() OVER (PARTITION BY pk ORDER BY ts DESC, lsn DESC) AS rn
+                FROM cells WHERE op = 'DR') WHERE rn = 1
+            ),
+            surv AS (
+              SELECT a.pk, a.col_name, a.value
+              FROM alive a
+              LEFT JOIN da ON a.pk = da.pk AND a.col_name = da.col_name
+              LEFT JOIN dr ON a.pk = dr.pk
+              WHERE a.wrn = 1
+                AND (da.dts IS NULL OR (a.ts, a.lsn) > (da.dts, da.dlsn))
+                AND (dr.rts IS NULL OR (a.ts, a.lsn) > (dr.rts, dr.rlsn))
+            )
+            SELECT pk,
+                   max(CASE WHEN col_name = 'c0' THEN value END) AS c0,
+                   max(CASE WHEN col_name = 'c1' THEN value END) AS c1,
+                   max(CASE WHEN col_name = 'c2' THEN value END) AS c2
+            FROM surv GROUP BY pk
         """,
         "dx_string_transforms": """
             SELECT doc_id,

@@ -125,6 +125,8 @@ def write_jdbc_batched(
     user: str | None = None,
     password: str | None = None,
     staging_token: str | None = None,
+    salvage_loader=None,
+    max_salvage_rows: int = 100_000,
     **options,
 ):
     """JDBC sink with CommonRdbmsWriter semantics
@@ -152,12 +154,25 @@ def write_jdbc_batched(
       (``staging_token``; generated when absent) so concurrent upsert
       jobs against the same target cannot DROP/CREATE each other's
       staging table mid-load.
+    - ``salvage_loader`` (from :func:`~datax_spark.sources.jdbc_sql.
+      jdbc_row_loader`) enables the reference's batch→per-row degrade
+      (``CommonRdbmsWriter.java:379-409``): when the bulk load throws,
+      the staging table is wiped and reloaded row-by-row, routing rows
+      the database rejects into the returned dirty list instead of
+      failing the job. With it set, even ``insert`` mode loads via a
+      staging table so the degrade is exactly-once w.r.t. the target.
+      Bounded by ``max_salvage_rows`` (the degrade is driver-side; a
+      bulk failure bigger than the bound re-raises).
+
+    Returns ``(n_salvaged_ok, dirty)`` — ``(None, [])`` when the bulk
+    path succeeded.
     """
     import uuid as _uuid
 
     from datax_spark.sources.jdbc_sql import (
         execute_sqls,
         render_pre_post_sqls,
+        staging_insert_plan,
         staging_upsert_plan,
     )
 
@@ -170,12 +185,17 @@ def write_jdbc_batched(
     executor = sql_executor or _no_executor
     load_table = table
     plan_post: list[str] = []
+    token = staging_token if staging_token is not None else _uuid.uuid4().hex[:8]
+    staging_name = f"{table}_datax_stg_{token}" if token else None
     if write_mode != "insert":
-        token = staging_token if staging_token is not None else _uuid.uuid4().hex[:8]
         plan = staging_upsert_plan(
-            table, df.columns, key_cols or [], dialect=dialect,
-            staging=f"{table}_datax_stg_{token}" if token else None,
+            table, df.columns, key_cols or [], dialect=dialect, staging=staging_name,
         )
+    elif salvage_loader is not None:
+        plan = staging_insert_plan(table, df.columns, dialect=dialect, staging=staging_name)
+    else:
+        plan = None
+    if plan is not None:
         execute_sqls(executor, plan["pre"])
         load_table = plan["load_table"]
         plan_post = plan["post"]
@@ -191,11 +211,24 @@ def write_jdbc_batched(
     )
     for k, v in options.items():
         w = w.option(k, v)
-    w.save()
+    salvaged, dirty = None, []
+    try:
+        w.save()
+    except Exception:
+        if salvage_loader is None:
+            raise
+        n = out.count()
+        if n > max_salvage_rows:
+            raise
+        # wipe the partially-loaded staging table, replay row-by-row
+        executor(f"DELETE FROM {load_table}")
+        rows = [tuple(r) for r in out.collect()]
+        salvaged, dirty = salvage_loader(load_table, out.columns, rows)
     if plan_post:
         execute_sqls(executor, plan_post)
     if post_sql:
         execute_sqls(executor, render_pre_post_sqls(post_sql, table))
+    return salvaged, dirty
 
 
 def read_jdbc_partitioned(

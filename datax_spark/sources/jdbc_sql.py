@@ -84,12 +84,14 @@ def staging_upsert_plan(
     stg = staging or f"{target}_datax_stg"
     cols = ",".join(columns)
     non_keys = [c for c in columns if c not in key_cols]
-    pre = [
-        f"DROP TABLE IF EXISTS {stg}",
-        f"CREATE TABLE {stg} LIKE {target}"
-        if dialect in ("mysql", "tddl")
-        else f"CREATE TABLE {stg} AS SELECT {cols} FROM {target} WHERE 1=0",
-    ]
+    if dialect in ("mysql", "tddl"):
+        pre = [f"DROP TABLE IF EXISTS {stg}", f"CREATE TABLE {stg} LIKE {target}"]
+    else:
+        # ANSI / Derby: no DROP IF EXISTS syntax — staging names are
+        # per-run unique (write_jdbc_batched suffixes a token), so a
+        # pre-drop is unnecessary; WITH NO DATA is the standard form
+        # (accepted by Derby and PostgreSQL).
+        pre = [f"CREATE TABLE {stg} AS SELECT {cols} FROM {target} WITH NO DATA"]
     if dialect in ("mysql", "tddl"):
         upsert = (
             f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {stg}"
@@ -109,6 +111,88 @@ def staging_upsert_plan(
         )
     post = [upsert, f"DROP TABLE {stg}"]
     return {"pre": pre, "load_table": stg, "post": post}
+
+
+def staging_insert_plan(
+    target: str,
+    columns: list[str],
+    dialect: str = "ansi",
+    staging: str | None = None,
+) -> dict[str, list[str] | str]:
+    """Staged plain-INSERT load (used when batch→per-row salvage is
+    enabled for ``insert`` mode): bulk-load into staging, then one
+    set-based ``INSERT ... SELECT`` into the target. Staging isolation is
+    what makes the degrade exactly-once — a partially-failed bulk load
+    can be wiped (``DELETE FROM staging``) and replayed row-by-row
+    without duplicating rows already in the target."""
+    stg = staging or f"{target}_datax_stg"
+    cols = ",".join(columns)
+    if dialect in ("mysql", "tddl"):
+        pre = [f"DROP TABLE IF EXISTS {stg}", f"CREATE TABLE {stg} LIKE {target}"]
+    else:
+        pre = [f"CREATE TABLE {stg} AS SELECT {cols} FROM {target} WITH NO DATA"]
+    post = [f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {stg}", f"DROP TABLE {stg}"]
+    return {"pre": pre, "load_table": stg, "post": post}
+
+
+def jdbc_row_loader(spark, url: str, user: str | None = None, password: str | None = None):
+    """Per-row degrade loader — the reference's batch→single salvage
+    (``CommonRdbmsWriter.java:379-409`` ``doOneInsert``: when a batch
+    INSERT throws SQLException, retry row-by-row and route offending rows
+    to the dirty-record collector instead of failing the task).
+
+    Returns ``load(table, columns, rows) -> (n_ok, dirty)`` where
+    ``dirty`` is ``[(row_tuple, reason_str), ...]``. Driver-side via the
+    JVM DriverManager (py4j) — ONLY for the bounded salvage path, never
+    the bulk path (which stays Spark's distributed JDBC writer)."""
+
+    def _to_jdbc(jvm, v):
+        import datetime
+        from decimal import Decimal
+
+        if isinstance(v, datetime.datetime):
+            ts = jvm.java.sql.Timestamp(int(v.timestamp() * 1000))
+            ts.setNanos(v.microsecond * 1000)
+            return ts
+        if isinstance(v, datetime.date):
+            return jvm.java.sql.Date.valueOf(v.isoformat())
+        if isinstance(v, Decimal):
+            return jvm.java.math.BigDecimal(str(v))
+        return v
+
+    def load(table: str, columns: list[str], rows) -> tuple[int, list]:
+        jvm = spark._sc._jvm  # noqa: SLF001
+        props = jvm.java.util.Properties()
+        if user is not None:
+            props.setProperty("user", user)
+        if password is not None:
+            props.setProperty("password", password)
+        conn = jvm.java.sql.DriverManager.getConnection(url, props)
+        n_ok, dirty = 0, []
+        try:
+            holders = ",".join("?" for _ in columns)
+            ps = conn.prepareStatement(
+                f"INSERT INTO {table} ({','.join(columns)}) VALUES ({holders})"
+            )
+            try:
+                for row in rows:
+                    try:
+                        for i, v in enumerate(row):
+                            if v is None:
+                                ps.setObject(i + 1, None)
+                            else:
+                                ps.setObject(i + 1, _to_jdbc(jvm, v))
+                        ps.executeUpdate()
+                        n_ok += 1
+                    except Exception as e:  # noqa: BLE001 — route, don't fail
+                        dirty.append((tuple(row), str(e).splitlines()[0]))
+            finally:
+                ps.close()
+        finally:
+            conn.close()
+        return n_ok, dirty
+
+    return load
 
 
 def jdbc_executor(spark, url: str, user: str | None = None, password: str | None = None):
