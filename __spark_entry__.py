@@ -385,6 +385,21 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path with its own oracle row: LSH-bucketed near-dup
+    pairs (single hyperplane-signature table, exact-cosine verify within
+    buckets) vs an independent pure-python reference
+    (oracle/pyref.py::emb_near_dup_lsh_rows)."""
+    from datax_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    # threshold/planes sized to the driver fixture: the synthetic 64-dim
+    # embeddings are near-orthogonal (no >=0.95 pairs exist), so the
+    # production default would make this oracle row vacuously empty
+    return embedding_near_dup_pairs(emb, dim=dim, threshold=0.3, num_planes=8)
+
+
 def _q_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.sources.synthetic import stream_source
 
@@ -571,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "stream_source_const": _q_stream_source,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -968,6 +984,10 @@ def _pyref_oracles() -> dict[str, str]:
         "ann_lsh_topk": pyref.values_sql(
             pyref.ann_lsh_topk_rows(sf_dir, k=10, num_planes=6, num_tables=6),
             [("qid", "BIGINT"), ("vec_id", "BIGINT"), ("cosine", "DOUBLE"), ("rank", "INTEGER")],
+        ),
+        "emb_near_dup_lsh": pyref.values_sql(
+            pyref.emb_near_dup_lsh_rows(sf_dir, threshold=0.3, num_planes=8),
+            [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")],
         ),
         "media_features": pyref.values_sql(
             pyref.media_features_rows(200),

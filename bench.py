@@ -127,6 +127,44 @@ def _replay(spark, input_path: str, table_root: str, n_events: int,
     return min(times)
 
 
+def _ann_highdim(spark, n: int = 50000, dim: int = 512, n_q: int = 32, k: int = 10) -> dict:
+    """Dim-based ANN dispatch delta at a realistic embedding size: the
+    interpreted HOF cosine fold vs the Arrow/numpy matmul path, same
+    deterministic 512-dim corpus (xxhash64-derived components — no RNG)."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.similarity import cosine_topk
+
+    corpus = (
+        spark.range(n)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: (F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001)) - 1000.0) / 1000.0,
+            ).cast("array<float>"),
+        )
+        .select(F.col("id").alias("vec_id"), "embedding")
+        .repartition(CPUS)
+        .persist()
+    )
+    corpus.count()
+    q = corpus.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = {}
+    for label, dim_arg in (("ann_highdim_hof", None), ("ann_highdim_numpy", dim)):
+        best = None
+        for _rep in range(2):
+            t0 = time.time()
+            cosine_topk(corpus, q, k=k, dim=dim_arg).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[label] = round(best, 2)
+    corpus.unpersist()
+    return out
+
+
 def _trickle(spark, base: str) -> dict:
     """Trickle-batch latency: median seconds per 1k-event batch applied to
     a 200k-key table, copy-on-write vs merge-on-read. The MoR number is
@@ -246,6 +284,9 @@ def main() -> None:
         # ---- trickle-batch latency (cow vs mor), 4N session
         trickle_stats = _trickle(spark, base)
         q_times.update(trickle_stats)
+
+        # ---- high-dim ANN dispatch delta (512-dim, numpy vs HOF)
+        q_times.update(_ann_highdim(spark))
 
         # ---- replay at 4N cores (this session)
         t_4n = _replay(spark, f"{base}/changes", f"{base}/t4n", n_events)

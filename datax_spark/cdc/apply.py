@@ -110,6 +110,7 @@ def apply_changes(
         "skipped": False,
         "snapshot_id": snap["snapshot_id"],
         "batch_rows": rows,
+        "rows_in": total,  # raw admitted rows (= listener numInputRows)
         "dirty_rows": dirty_count,
         "schema_changes": changes_applied,
         "lineage": snap["summary"].get("lineage", {}),

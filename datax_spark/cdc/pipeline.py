@@ -70,6 +70,7 @@ def run_stream(
     schema: T.StructType = CHANGE_SCHEMA,
     stream_id: str = "default",
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
     quarantine_dir: str | None = None,
     error_limits: ErrorLimits | None = None,
     available_now: bool = True,
@@ -78,6 +79,7 @@ def run_stream(
     transform=None,
     merge_mode: str = "cow",
     compact_every: int | None = None,
+    compact_delta_ratio: float | None = None,
 ):
     """Tail parquet change files in ``source_dir`` into the lake table.
 
@@ -89,8 +91,11 @@ def run_stream(
 
     ``merge_mode="mor"`` appends delta files per batch instead of
     rewriting buckets (trickle-batch fast path); ``compact_every=N``
-    folds deltas into base files every N batches so read amplification
-    stays bounded (the background-compaction trigger).
+    folds deltas into base files every N batches (count trigger), and
+    ``compact_delta_ratio=r`` folds only buckets whose delta bytes exceed
+    ``r × base bytes`` after any batch (size trigger — bounds read
+    amplification by data volume, not batch count; manifest-stat check
+    per batch, no file scans). The two compose; either alone works.
     """
     table = LakeTable(spark, table_root).load()
     seen = {"n": 0}
@@ -124,12 +129,14 @@ def run_stream(
             merge_mode=merge_mode,
         )
         seen["n"] += 1
-        if (
-            compact_every
-            and not metrics.get("skipped")
-            and seen["n"] % compact_every == 0
-        ):
-            snap = table.load().compact_buckets(min_files_per_bucket=2)
+        if not metrics.get("skipped"):
+            snap = None
+            if compact_every and seen["n"] % compact_every == 0:
+                snap = table.load().compact_buckets(min_files_per_bucket=2)
+            elif compact_delta_ratio is not None:
+                snap = table.load().compact_buckets(
+                    min_files_per_bucket=None, max_delta_ratio=compact_delta_ratio
+                )
             if snap is not None:
                 metrics["compacted_snapshot"] = snap["snapshot_id"]
         write_metrics(table_root, metrics)
@@ -137,6 +144,11 @@ def run_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        # the reference's per-channel byte-rate throttle
+        # (Channel.java:176-239) mapped to admission control: size with
+        # split.trigger_byte_budget(trigger_interval, ...)
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
     stream = reader.parquet(source_dir)
     writer = (
         stream.writeStream.foreachBatch(handle)

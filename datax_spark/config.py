@@ -30,6 +30,7 @@ dryRun mode validates + explains without moving data
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,7 @@ class JobConfig:
     channels: int = 8
     error_limits: ErrorLimits | None = None
     dry_run: bool = False
+    cast_defaults: object | None = None  # ColumnCast matrix (common.column.*)
 
     @staticmethod
     def from_json(path_or_str: str) -> "JobConfig":
@@ -61,6 +63,15 @@ class JobConfig:
         limits = None
         if el is not None:
             limits = ErrorLimits(record=el.get("record"), percentage=el.get("percentage"))
+        # ColumnCast defaults: the reference merges core.json's
+        # common.column.* under the job (ColumnCast.bind); accept the
+        # block at the document top level or inside job/setting.
+        common = doc.get("common") or job.get("common") or setting.get("common")
+        cast_defaults = None
+        if common:
+            from datax_spark.functions.column_cast import CastDefaults
+
+            cast_defaults = CastDefaults.from_config({"common": common})
         return JobConfig(
             reader=content["reader"],
             writer=content["writer"],
@@ -68,6 +79,7 @@ class JobConfig:
             channels=int(speed.get("channel", 8)),
             error_limits=limits,
             dry_run=bool(setting.get("dryRun", False)),
+            cast_defaults=cast_defaults,
         )
 
 
@@ -87,6 +99,7 @@ def _read(spark: SparkSession, cfg: JobConfig) -> DataFrame:
             skip_header=bool(p.get("skipHeader", False)),
             null_format=p.get("nullFormat", r"\N"),
             columns=p.get("column"),
+            cast_defaults=cfg.cast_defaults,
         )
     if name == "streamreader":
         from datax_spark.sources.synthetic import stream_source
@@ -149,10 +162,29 @@ def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
         write_files(df.repartition(cfg.channels), p["path"], "parquet", mode)
         return {"writer": name, "path": p["path"]}
     if name == "txtfilewriter":
+        # emit-option parity with the reference's unstructured writer
+        # (UnstructuredStorageWriterUtil.java): header is a LIST of column
+        # labels written as line 1; compress gzip/bzip2; fieldDelimiter /
+        # encoding / nullFormat / dateFormat as configured
         from datax_spark.sources.files import write_files
 
-        write_files(df.repartition(cfg.channels), p["path"], "csv", mode,
-                    sep=p.get("fieldDelimiter", ","), header=p.get("header", "false"))
+        out = df.repartition(cfg.channels)
+        opts = {
+            "sep": p.get("fieldDelimiter", ","),
+            "encoding": p.get("encoding", "UTF-8"),
+            "nullValue": p.get("nullFormat", r"\N"),
+        }
+        hdr = p.get("header")
+        if isinstance(hdr, (list, tuple)):
+            out = out.toDF(*hdr)
+            opts["header"] = "true"
+        elif hdr is not None:
+            opts["header"] = str(hdr).lower()
+        if p.get("compress"):
+            opts["compression"] = p["compress"]
+        if p.get("dateFormat"):
+            opts["dateFormat"] = p["dateFormat"]
+        write_files(out, p["path"], "csv", mode, **opts)
         return {"writer": name, "path": p["path"]}
     if name == "streamwriter":
         n = df.count()
@@ -231,6 +263,71 @@ def _coerce(x):
     return x
 
 
+def pre_check(spark: SparkSession, cfg: JobConfig) -> dict:
+    """``JobContainer.preCheck`` analog (``core/src/main/java/com/alibaba/
+    datax/core/job/JobContainer.java:184-213``): probe reader/writer
+    connectivity, permissions, and splitPk validity BEFORE moving data.
+
+    Probes actually connect (JDBC: ``SELECT ... WHERE 1=0`` against the
+    real table via DriverManager; files: glob + read/write access), they
+    don't just re-validate config shape. Returns {"ok", "checks": [...]}
+    with one row per probe; never raises — a failed probe is a result."""
+    import glob as _glob
+
+    checks: list[dict] = []
+
+    def add(side: str, check: str, ok: bool, detail: str = "") -> None:
+        checks.append({"side": side, "check": check, "ok": bool(ok), "detail": detail})
+
+    def _probe_sql(url: str, sql: str, user, password) -> tuple[bool, str]:
+        from datax_spark.sources.jdbc_sql import jdbc_executor
+
+        try:
+            jdbc_executor(spark, url, user=user, password=password)(sql)
+            return True, ""
+        except Exception as e:  # noqa: BLE001 — the failure IS the result
+            return False, str(e).splitlines()[0][:200]
+
+    r, rp = cfg.reader["name"], cfg.reader.get("parameter", {})
+    if r in ("parquetreader", "txtfilereader", "changereader"):
+        for path in _aslist(rp.get("path", [])):
+            hits = _glob.glob(path) or ([path] if os.path.exists(path) else [])
+            ok = bool(hits) and all(os.access(h, os.R_OK) for h in hits)
+            add("reader", f"readable path {path}", ok, f"{len(hits)} match(es)")
+    elif r == "jdbcreader":
+        url = rp["jdbcUrl"]
+        user, pw = rp.get("username"), rp.get("password")
+        if rp.get("querySql"):
+            probe = f"SELECT * FROM ({rp['querySql']}) dx_pre WHERE 1=0"
+        else:
+            probe = f"SELECT * FROM {rp['table']} WHERE 1=0"
+        ok, detail = _probe_sql(url, probe, user, pw)
+        add("reader", f"jdbc connect+select {rp.get('table', 'querySql')}", ok, detail)
+        split_pk = rp.get("splitPk")
+        if ok and split_pk and not rp.get("querySql"):
+            # the reference validates splitPk by running the bounds query
+            ok2, d2 = _probe_sql(
+                url, f"SELECT MIN({split_pk}), MAX({split_pk}) FROM {rp['table']}", user, pw
+            )
+            add("reader", f"splitPk bounds {split_pk}", ok2, d2)
+
+    w, wp = cfg.writer["name"], cfg.writer.get("parameter", {})
+    if w in ("parquetwriter", "txtfilewriter", "lakemerger"):
+        path = wp.get("path", "")
+        parent = path
+        while parent and not os.path.exists(parent):
+            parent = os.path.dirname(parent)
+        ok = bool(parent) and os.access(parent, os.W_OK)
+        add("writer", f"writable path {path}", ok, f"nearest existing: {parent or '(none)'}")
+    elif w == "jdbcwriter":
+        url = wp["jdbcUrl"]
+        user, pw = wp.get("username"), wp.get("password")
+        ok, detail = _probe_sql(url, f"SELECT * FROM {wp['table']} WHERE 1=0", user, pw)
+        add("writer", f"jdbc connect+select {wp['table']}", ok, detail)
+
+    return {"ok": all(c["ok"] for c in checks), "checks": checks}
+
+
 def run_job(spark: SparkSession, config: str | JobConfig) -> dict:
     """Execute a job config; returns a result/metrics dict.
 
@@ -238,11 +335,17 @@ def run_job(spark: SparkSession, config: str | JobConfig) -> dict:
     explain + stop) → read → transform chain → write → report.
     """
     cfg = config if isinstance(config, JobConfig) else JobConfig.from_json(config)
-    df = _read(spark, cfg)
-    df = _transform(df, cfg)
     if cfg.dry_run:
+        # JobContainer.preCheck: live connectivity/permission/splitPk
+        # probes first, then the plan explanation — both without moving data
+        probes = pre_check(spark, cfg)
+        df = _read(spark, cfg)
+        df = _transform(df, cfg)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
-        return {"dryRun": True, "schema": df.schema.simpleString(), "plan": plan}
+        return {"dryRun": True, "preCheck": probes,
+                "schema": df.schema.simpleString(), "plan": plan}
+    df = _read(spark, cfg)
+    df = _transform(df, cfg)
     return _write(df, spark, cfg)

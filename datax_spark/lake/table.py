@@ -78,7 +78,7 @@ def _atomic_write_json(path: str, obj) -> None:
 _MANIFEST_SCHEMA_COLS = [
     ("path", "string"), ("bucket", "int64"), ("records", "int64"),
     ("deleted", "int64"), ("lsn_min", "int64"), ("lsn_max", "int64"),
-    ("schema_id", "int64"), ("kind", "string"),
+    ("schema_id", "int64"), ("kind", "string"), ("bytes", "int64"),
 ]
 
 
@@ -483,6 +483,7 @@ class LakeTable:
                         "lsn_max": lsn_max,
                         "schema_id": ts.schema_id,
                         "kind": kind,
+                        "bytes": os.path.getsize(p),
                     }
                 )
         return entries
@@ -597,16 +598,62 @@ class LakeTable:
             operation="expire_tombstones",
         )
 
-    def compact_buckets(self, min_files_per_bucket: int = 2) -> dict | None:
-        """Rewrite buckets whose file count exceeds the threshold into one
-        file each — small-file maintenance for long streams (each merge
-        writes ≥1 file per touched bucket; a day of minute-batches leaves
-        1440 files/bucket without this). Runs as a normal CoW commit, so
-        readers never see a partial state."""
-        counts: dict[int, int] = {}
+    def _entry_bytes(self, e: dict) -> int:
+        """Manifest-recorded file size; legacy entries (written before the
+        ``bytes`` column existed) fall back to one stat call."""
+        b = e.get("bytes")
+        if b is None:
+            b = os.path.getsize(os.path.join(self.root, e["path"]))
+        return int(b)
+
+    def delta_amplification(self) -> dict[int, float]:
+        """Per-bucket MoR read amplification: delta bytes / base bytes.
+
+        The size-aware compaction signal — a bucket whose deltas outweigh
+        a fraction of its base pays that fraction again on every read
+        (the read-time collapse scans base + all deltas). A bucket with
+        deltas but no base reports ``inf``."""
+        base: dict[int, int] = {}
+        delta: dict[int, int] = {}
         for e in self.manifest():
-            counts[e["bucket"]] = counts.get(e["bucket"], 0) + 1
-        victims = {b for b, n in counts.items() if n >= min_files_per_bucket}
+            side = delta if e.get("kind") == "delta" else base
+            side[e["bucket"]] = side.get(e["bucket"], 0) + self._entry_bytes(e)
+        out = {}
+        for b, dbytes in delta.items():
+            bbytes = base.get(b, 0)
+            out[b] = (dbytes / bbytes) if bbytes else float("inf")
+        return out
+
+    def compact_buckets(
+        self,
+        min_files_per_bucket: int | None = 2,
+        max_delta_ratio: float | None = None,
+    ) -> dict | None:
+        """Rewrite victim buckets into one file each — small-file + read-
+        amplification maintenance for long streams. Victims are the union
+        of two triggers (either may be disabled with None):
+
+        - ``min_files_per_bucket``: file-count bound (each merge writes
+          ≥1 file per touched bucket; a day of minute-batches leaves 1440
+          files/bucket without this);
+        - ``max_delta_ratio``: size bound — buckets whose MoR delta bytes
+          exceed ``ratio × base bytes`` (see :meth:`delta_amplification`);
+          sized from manifest stats, no file scans. This keeps read
+          amplification bounded by data VOLUME, not batch count: 1000
+          tiny trickle deltas on a 1 GB base won't churn the bucket, one
+          bulk delta half its size will.
+
+        Runs as a normal CoW commit, so readers never see partial state."""
+        victims: set[int] = set()
+        if min_files_per_bucket is not None:
+            counts: dict[int, int] = {}
+            for e in self.manifest():
+                counts[e["bucket"]] = counts.get(e["bucket"], 0) + 1
+            victims |= {b for b, n in counts.items() if n >= min_files_per_bucket}
+        if max_delta_ratio is not None:
+            victims |= {
+                b for b, r in self.delta_amplification().items() if r > max_delta_ratio
+            }
         if not victims:
             return None
         df = self.read(buckets=sorted(victims), include_deleted=True, include_system=True)

@@ -42,9 +42,28 @@ def cosine_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     round_to: int | None = 4,
+    dim: int | None = None,
+    pandas_dim_threshold: int = 128,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine. The query side is
-    broadcast (small); ranking = window row_number per query."""
+    broadcast (small); ranking = window row_number per query.
+
+    Dispatch: pass ``dim`` to route high-dimensional corpora
+    (``dim >= pandas_dim_threshold``) through the Arrow/numpy matmul path
+    (:func:`cosine_topk_pandas`) — the interpreted ``F.aggregate`` fold
+    has no codegen and costs O(dim) expression-tree evaluations per row,
+    which loses to one BLAS matmul per Arrow batch well before real
+    embedding sizes (768+). Results are identical either way (same
+    rounding, same (cosine desc, id asc) total order)."""
+    if dim is not None and dim >= pandas_dim_threshold:
+        qpd = (
+            queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+            .toPandas()
+        )
+        out = cosine_topk_pandas(
+            corpus, qpd, k=k, id_col=id_col, vec_col=vec_col, round_to=round_to
+        )
+        return out.select(F.col("qid").alias(qid_col), id_col, "cosine", "rank")
     q = F.broadcast(queries.select(F.col(qid_col), F.col(qvec_col)))
     scored = rebalance_for_cpu(corpus.select(F.col(id_col), F.col(vec_col))).crossJoin(q).select(
         qid_col,
@@ -283,9 +302,16 @@ def cosine_topk_pandas(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int | None = 4,
 ):
-    """Arrow/numpy variant: per-partition matmul against the (small,
-    broadcast-as-closure) query matrix — the high-dim fast path."""
+    """Arrow/numpy variant: per-Arrow-batch BLAS matmul against the
+    (small, broadcast-as-closure) query matrix — the high-dim fast path.
+
+    Each batch emits only its LOCAL top-k per query (selected under the
+    same (rounded cosine desc, id asc) total order the global window
+    uses, so the global top-k is always a subset of the union): the
+    exchange carries ≤ k·Q rows per batch instead of N·Q — at 100 TB the
+    shuffle is the bottleneck, not the matmul."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -309,19 +335,28 @@ def cosine_topk_pandas(
             m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = mn @ qn.T  # (n, q)
-            n = len(pdf)
+            if round_to is not None:
+                sims = np.round(sims, round_to)
+            ids = pdf[id_col].to_numpy()
+            take = min(k, len(ids))
+            out_q, out_i, out_c = [], [], []
+            for j in range(len(qids)):
+                # (cosine desc, id asc) — identical to the global window order
+                order = np.lexsort((ids, -sims[:, j]))[:take]
+                out_q.append(np.full(take, qids[j]))
+                out_i.append(ids[order])
+                out_c.append(sims[order, j])
             yield pd.DataFrame(
                 {
-                    "qid": np.repeat(qids, n),
-                    id_col: np.tile(pdf[id_col].to_numpy(), len(qids)),
-                    "cosine": sims.T.reshape(-1),
+                    "qid": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cosine": np.concatenate(out_c),
                 }
             )
 
     scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
-        scored.withColumn("cosine", F.round("cosine", 4))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -228,6 +228,36 @@ def ann_lsh_topk_rows(
     return out
 
 
+def emb_near_dup_lsh_rows(
+    sf_dir: str,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 42,
+) -> list[tuple]:
+    """(id_a, id_b, cosine) — LSH-bucketed embedding near-dup pairs
+    (engine: operators/similarity.py::embedding_near_dup_pairs): pairs
+    sharing the single-table hyperplane signature bucket, exact cosine
+    ≥ threshold. The SCALE path's oracle — the brute crossJoin variant
+    (emb_near_dup) keeps its DuckDB oracle; this pins the bucketed plan's
+    candidate generation too."""
+    emb = _load_pandas(sf_dir, "embeddings")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+    dim = len(next(iter(vecs.values())))
+    signs = _signs(dim, num_planes, seed)
+    buckets: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        buckets.setdefault(_signature(v, signs), []).append(vid)
+    out = []
+    for ids in buckets.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cos = _round_half_up(_cosine(vecs[ids[i]], vecs[ids[j]]), 4)
+                if cos >= threshold:
+                    out.append((ids[i], ids[j], cos))
+    return sorted(out)
+
+
 def minhash_keep_rows(
     sf_dir: str,
     k_shingle: int = 3,

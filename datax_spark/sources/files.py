@@ -54,8 +54,17 @@ def read_csv(
     skip_header: bool = False,
     null_format: str = r"\N",
     columns: list[dict] | None = None,
+    cast_defaults=None,
 ):
-    """DataX txtfile/hdfs/oss reader semantics on Spark's CSV source."""
+    """DataX txtfile/hdfs/oss reader semantics on Spark's CSV source.
+
+    ``cast_defaults`` (a :class:`datax_spark.functions.column_cast.
+    CastDefaults`) enables the reference's ColumnCast matrix for date
+    columns: datetimeFormat → dateFormat → timeFormat → extraFormats
+    cascade in the configured timeZone (``ColumnCast.java:92-122``), a
+    per-column ``format`` overriding the cascade (the two-arg
+    ``string2Date`` overload). Without it, date columns keep the legacy
+    single-format/plain-cast behavior."""
     df = (
         spark.read.option("sep", field_delimiter)
         .option("encoding", encoding)
@@ -77,7 +86,12 @@ def read_csv(
         ctype = spec.get("type", "string").lower()
         fmt = spec.get("format")
         if ctype == "date":
-            col = F.to_timestamp(col, fmt) if fmt else col.cast("timestamp")
+            if cast_defaults is not None:
+                from datax_spark.functions.column_cast import string_to_timestamp
+
+                col = string_to_timestamp(col, cast_defaults, fmt)
+            else:
+                col = F.to_timestamp(col, fmt) if fmt else col.cast("timestamp")
         elif ctype in {"long", "bigint"}:
             col = col.cast("bigint")
         elif ctype == "double":
@@ -85,7 +99,8 @@ def read_csv(
         elif ctype in {"bool", "boolean"}:
             col = col.cast("boolean")
         elif ctype == "bytes":
-            col = F.encode(col.cast("string"), "UTF-8")
+            enc = cast_defaults.encoding if cast_defaults is not None else "UTF-8"
+            col = F.encode(col.cast("string"), enc)
         else:
             col = col.cast("string")
         out.append(col.alias(name))

@@ -124,6 +124,30 @@ def channel_plan(
     raise ValueError("no rate limit nor explicit channel count configured")
 
 
+def trigger_byte_budget(
+    trigger_interval_sec: float,
+    byte_limit_per_sec: int | None = None,
+    channels: int | None = None,
+    channel_byte_speed: int = 1 << 20,
+) -> int:
+    """Per-trigger byte budget — the reference's channel byte-rate
+    throttle (``Channel.java:176-239``: ``byteSpeed`` bytes/sec per
+    channel, enforced each statistics window by sleeping off the excess)
+    mapped onto Spark's pull model: instead of sleeping after reading too
+    much, bound what a micro-batch ADMITS via the file source's
+    ``maxBytesPerTrigger``. Total rate = ``byte_limit_per_sec`` when the
+    job sets a global cap (``job.setting.speed.byte``), else
+    ``channels × channel_byte_speed`` (core.json
+    ``core.transport.channel.speed.byte`` default 1 MiB/s)."""
+    if byte_limit_per_sec and byte_limit_per_sec > 0:
+        rate = byte_limit_per_sec
+    elif channels and channels > 0:
+        rate = channels * channel_byte_speed
+    else:
+        raise ValueError("need byte_limit_per_sec or channels for a byte budget")
+    return max(1, int(rate * trigger_interval_sec))
+
+
 def over_split_factor(n_tables: int, channels: int, split_factor: int = 5) -> int:
     """Tasks per source: single table over-splits ×splitFactor against
     stragglers (``ReaderSplitUtil.java:62-87``); AQE coalesces the excess."""

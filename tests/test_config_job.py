@@ -124,3 +124,44 @@ def test_job_lakemerger_mor(spark, tmp_path):
     t = LakeTable(spark, root).load()
     assert t.read().count() == 40
     assert any(e.get("kind") == "delta" for e in t.manifest())
+
+
+def test_txtfilewriter_emit_option_parity(spark, tmp_path):
+    """UnstructuredStorageWriterUtil emit options: header LIST as line 1,
+    gzip compress, custom delimiter + nullFormat."""
+    import glob
+    import gzip
+    import json
+
+    from datax_spark.config import run_job
+
+    src = tmp_path / "in.csv"
+    src.write_text("1,alpha\n2,\\N\n")
+    out_dir = str(tmp_path / "out")
+    doc = {
+        "job": {"content": [{
+            "reader": {"name": "txtfilereader", "parameter": {
+                "path": str(src),
+                "column": [{"index": 0, "type": "long", "name": "id"},
+                           {"index": 1, "type": "string", "name": "word"}],
+            }},
+            "writer": {"name": "txtfilewriter", "parameter": {
+                "path": out_dir,
+                "fieldDelimiter": ";",
+                "header": ["ID", "WORD"],
+                "compress": "gzip",
+                "nullFormat": "\\N",
+            }},
+        }], "setting": {"speed": {"channel": 1}}},
+    }
+    run_job(spark, json.dumps(doc))
+    files = glob.glob(f"{out_dir}/*.csv.gz")
+    assert files, "expected gzip csv part files"
+    lines = []
+    for f in sorted(files):
+        with gzip.open(f, "rt") as fh:
+            lines += [ln.rstrip("\n") for ln in fh if ln.strip()]
+    header = [ln for ln in lines if ln == "ID;WORD"]
+    data = sorted(ln for ln in lines if ln != "ID;WORD")
+    assert header  # the header list is written as the first line
+    assert data == ["1;alpha", "2;\\N"]  # delimiter + nullFormat parity

@@ -87,3 +87,29 @@ def test_simhash_near_pairs_radius(spark):
     assert pairs[(1, 2)] == 0 and pairs[(1, 5)] == 0 and pairs[(2, 5)] == 0
     assert (1, 3) in pairs and 0 < pairs[(1, 3)] <= 8
     assert not any(4 in p for p in pairs)
+
+
+def test_highdim_dispatch_matches_hof_path(spark):
+    """dim >= threshold routes through the numpy matmul path; results are
+    byte-identical to the interpreted HOF fold (same rounding, same
+    (cosine desc, id asc) order), including across Arrow-batch-local
+    top-k pruning."""
+    import random
+
+    from datax_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(7)
+    dim, n = 256, 300
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+        .repartition(8)
+    q = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    hof = cosine_topk(emb, q, k=10)  # dim not passed → HOF path
+    fast = cosine_topk(emb, q, k=10, dim=dim)  # ≥128 → numpy path
+    a = sorted(map(tuple, hof.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b and len(a) == 40
+    # below the threshold the plan must stay pure JVM (no Python workers)
+    small = cosine_topk(emb, q, k=10, dim=64)
+    assert "mapInPandas" not in small._jdf.queryExecution().executedPlan().toString()

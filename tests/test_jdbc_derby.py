@@ -110,3 +110,36 @@ def test_salvage_not_enabled_reraises(spark, derby):
             driver=DRIVER, sql_executor=ex,
         )
     assert _read_all(spark, url) == []
+
+
+def test_dry_run_precheck_probes_live(spark, derby, tmp_path):
+    """JobContainer.preCheck analog: LIVE connectivity + splitPk probes
+    against embedded Derby, file permission probes, failures captured as
+    results (not raises)."""
+    from datax_spark.config import JobConfig, pre_check
+
+    url, ex = derby
+    cfg = JobConfig(
+        reader={"name": "jdbcreader",
+                "parameter": {"jdbcUrl": url, "table": "pages", "splitPk": "id"}},
+        writer={"name": "jdbcwriter",
+                "parameter": {"jdbcUrl": url, "table": "pages"}},
+    )
+    res = pre_check(spark, cfg)
+    assert res["ok"] and len(res["checks"]) == 3  # connect, splitPk bounds, writer
+    # missing table → probe fails with the db error in detail, no raise
+    bad = JobConfig(
+        reader={"name": "jdbcreader",
+                "parameter": {"jdbcUrl": url, "table": "no_such_table"}},
+        writer={"name": "parquetwriter", "parameter": {"path": str(tmp_path / "out")}},
+    )
+    res2 = pre_check(spark, bad)
+    assert not res2["ok"]
+    failed = [c for c in res2["checks"] if not c["ok"]]
+    assert len(failed) == 1 and failed[0]["detail"]
+    # missing reader file path → failed probe
+    res3 = pre_check(spark, JobConfig(
+        reader={"name": "parquetreader", "parameter": {"path": str(tmp_path / "absent.parquet")}},
+        writer={"name": "parquetwriter", "parameter": {"path": str(tmp_path / "out")}},
+    ))
+    assert not res3["ok"]

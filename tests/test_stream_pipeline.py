@@ -94,3 +94,75 @@ def test_stream_mor_with_periodic_compaction(spark, tmp_path):
               and s["summary"].get("batch_rows", 0) > 0]
     assert merges and all(s["summary"]["merge_strategy"] == "mor-delta" for s in merges)
     assert any(s["summary"]["operation"] == "compact" for s in t.snapshots())
+
+
+def test_communication_listener_matches_metrics(spark, tmp_path):
+    """Listener-bus counters (CommunicationTool analog) agree with the
+    engine's own per-batch lineage rows: sum(numInputRows) == sum(rows_in)
+    and batch count matches applied batches."""
+    import time
+
+    from datax_spark.cdc.listeners import attach
+
+    base = str(tmp_path)
+    src, root, ckpt = f"{base}/src", f"{base}/table", f"{base}/ckpt"
+    ch = changes_df(spark, 3000, n_keys=500, partitions=4).cache()
+    _write_change_files(spark, ch, src, 3, base)
+    schema = T.StructType([f for f in CHANGE_SCHEMA.fields if f.name not in ("lsn", "op")])
+    LakeTable.create(spark, root, schema, key_col="url", num_buckets=4)
+
+    listener = attach(spark)
+    try:
+        run_stream(spark, src, root, ckpt, max_files_per_trigger=1,
+                   available_now=True, timeout_sec=180)
+        applied = {m["batch_id"]: m["rows_in"]
+                   for m in read_metrics(root) if not m.get("skipped")}
+        # listener delivery is async — poll briefly for the tail events
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = [r for r in listener.rows if r["read_succeed_records"] > 0]
+            if len(got) >= len(applied):
+                break
+            time.sleep(0.5)
+        got = {r["batch_id"]: r for r in listener.rows
+               if r["read_succeed_records"] > 0}
+        assert sorted(got) == sorted(applied) and len(applied) == 3
+        assert sum(applied.values()) == 3000
+        for b, rows_in in applied.items():
+            metered = got[b]["read_succeed_records"]
+            # Spark meters scans: k actions over the batch → k × rows_in.
+            # The engine's CoW merge makes exactly 2 passes (write + the
+            # column-pruned stats scan) — pin that scan factor.
+            assert metered == 2 * rows_in, (b, metered, rows_in)
+        tot = listener.totals()
+        assert tot["total_batches"] >= 3
+        assert tot["record_speed"] > 0
+        assert tot["wait_writer_time_ms"] > 0  # addBatch time metered
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_max_bytes_per_trigger_bounds_batches(spark, tmp_path):
+    """Byte-budget admission control (Channel.java byte-rate throttle →
+    maxBytesPerTrigger): a budget of ~one file per trigger yields one
+    micro-batch per file; a huge budget admits everything at once."""
+    import glob as _glob
+
+    from datax_spark.sources.split import trigger_byte_budget
+
+    base = str(tmp_path)
+    src, root, ckpt = f"{base}/src", f"{base}/table", f"{base}/ckpt"
+    ch = changes_df(spark, 3000, n_keys=500, partitions=4).cache()
+    _write_change_files(spark, ch, src, 3, base)
+    f_bytes = max(os.path.getsize(p) for p in _glob.glob(f"{src}/*.parquet"))
+    schema = T.StructType([f for f in CHANGE_SCHEMA.fields if f.name not in ("lsn", "op")])
+    LakeTable.create(spark, root, schema, key_col="url", num_buckets=4)
+    run_stream(spark, src, root, ckpt, max_bytes_per_trigger=f_bytes,
+               available_now=True, timeout_sec=180)
+    applied = [m for m in read_metrics(root) if not m.get("skipped")]
+    assert len(applied) == 3  # one file per trigger under the byte budget
+    assert sum(m["rows_in"] for m in applied) == 3000
+
+    # budget math: explicit global cap wins; else channels × per-channel rate
+    assert trigger_byte_budget(10.0, byte_limit_per_sec=1 << 20) == 10 << 20
+    assert trigger_byte_budget(2.0, channels=4) == 8 << 20
