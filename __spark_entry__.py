@@ -257,6 +257,83 @@ def _q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 adaptation: revenue per nation where the supplier is in
+    the customer's nation, region-filtered, one order-date year. Plan
+    value: a 6-table join — dims broadcast, one fact-fact shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter((F.col("r_name") == "ASIA")
+                & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adaptation: top-20 customers by revenue lost to
+    returned items in one quarter."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    nation = load(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter((F.col("l_returnflag") == "R")
+                & (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01")))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 adaptation: orders whose total quantity exceeds the
+    threshold, with customer context — the aggregate-then-semijoin shape."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_tq"))
+        .filter(F.col("_tq") > 300)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    return (
+        li.join(F.broadcast(big), li.l_orderkey == F.col("_bigkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey",
+                 F.date_format("o_orderdate", _TS_FMT_SPARK).alias("orderdate"),
+                 F.round("o_totalprice", 2).alias("totalprice"))
+        .agg(F.sum(qty).cast("double").alias("total_qty"))
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 def _q_window_customer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -573,6 +650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_range_assign": _q_split_range_assign,
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping": _q3_shipping,
+        "q5_local_supplier": _q5_local_supplier,
+        "q10_returned_items": _q10_returned_items,
+        "q18_large_orders": _q18_large_orders,
         "window_customer_rank": _q_window_customer_rank,
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -724,6 +804,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                          JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+                          JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "q18_large_orders": f"""
+            WITH big AS (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '{_TS_FMT_DUCK}') AS orderdate,
+                   round(o_totalprice, 2) AS totalprice,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+            FROM lineitem JOIN big USING (l_orderkey)
+                          JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100
         """,
         "window_customer_rank": """
             WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
