@@ -267,6 +267,108 @@ def cosine_topk_ivf(
     )
 
 
+def train_centroids_kmeans(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) trainer for IVF centroids.
+
+    Assignment uses the SAME metric + tie rule as :func:`cosine_topk_ivf`
+    (cosine, ties → lower cid); the update is the per-cluster mean of
+    L2-normalized members. Scale shape per iteration: broadcast-centroid
+    assignment (no shuffle) + ONE exchange of (cid, dim, partial sums)
+    via posexplode/groupBy with map-side combine; only the k×dim centroid
+    matrix ever reaches the driver.
+
+    Determinism: seeding is farthest-point (k-means++-style but with the
+    deterministic argmax instead of sampling — first seed = lowest id,
+    each next = the vector with the smallest max-cosine to the chosen
+    seeds, ties → lowest id), and the mean accumulates in DECIMAL(28,12)
+    — associative-exact, so the trained centroids are independent of
+    partitioning (same property the curation pipeline uses for its
+    decimal averages). Empty clusters keep their previous centroid.
+    """
+    spark = corpus.sparkSession
+    vecs = corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    first = vecs.orderBy(F.asc(id_col)).first()
+    cents = [(0, [float(x) for x in first[1]])]
+    for j in range(1, n_centroids):
+        packed = F.broadcast(
+            spark.createDataFrame(cents, "cid int, cvec array<double>")
+            .agg(F.collect_list("cvec").alias("_cs"))
+        )
+        nxt = (
+            vecs.join(packed)
+            .withColumn(
+                "_maxcos",
+                F.array_max(F.transform(F.col("_cs"), lambda c: cosine(F.col("_v"), c))),
+            )
+            .orderBy(F.asc("_maxcos"), F.asc(id_col))
+            .first()
+        )
+        cents.append((j, [float(x) for x in nxt["_v"]]))
+    src = rebalance_for_cpu(corpus.select(id_col, vec_col)).withColumn(
+        "_nv",
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: x / F.greatest(_norm(F.col(vec_col).cast("array<double>")), F.lit(1e-300)),
+        ),
+    ).persist()
+    try:
+        for _ in range(iters):
+            cdf = spark.createDataFrame(cents, "cid int, cvec array<double>")
+            packed = F.broadcast(
+                cdf.agg(F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("_cents"))
+            )
+            scored = src.join(packed).withColumn(
+                "cid",
+                F.element_at(
+                    F.slice(
+                        F.transform(
+                            F.array_sort(
+                                F.transform(
+                                    F.col("_cents"),
+                                    lambda c: F.struct(
+                                        (-_dot(F.col("_nv"), c["cvec"])).alias("neg"),
+                                        c["cid"].alias("cid"),
+                                    ),
+                                )
+                            ),
+                            lambda s: s["cid"],
+                        ),
+                        1, 1,
+                    ),
+                    1,
+                ),
+            )
+            sums = (
+                scored.select("cid", F.posexplode("_nv").alias("dim", "val"))
+                .groupBy("cid", "dim")
+                .agg(
+                    F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            acc: dict[int, list] = {}
+            for r in sums:
+                acc.setdefault(r["cid"], [None] * len(cents[0][1]))[r["dim"]] = (
+                    float(r["s"]) / r["n"]
+                )
+            cents = [
+                (cid, acc.get(cid) if acc.get(cid) and None not in acc[cid] else old)
+                for cid, old in cents
+            ]
+    finally:
+        src.unpersist()
+    return spark.createDataFrame(cents, "cid int, cvec array<double>").select(
+        F.col("cid").cast("long").alias("cid"), "cvec"
+    )
+
+
 def lsh_recall(
     corpus: DataFrame,
     queries: DataFrame,

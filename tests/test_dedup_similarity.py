@@ -113,3 +113,48 @@ def test_highdim_dispatch_matches_hof_path(spark):
     # below the threshold the plan must stay pure JVM (no Python workers)
     small = cosine_topk(emb, q, k=10, dim=64)
     assert "mapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kmeans_trainer_separates_clusters_and_lifts_recall(spark):
+    """Spherical k-means trainer: converges onto well-separated cluster
+    directions, is partition-independent (decimal-sum means), and trained
+    centroids never lose to the lowest-id seed centroids on IVF recall."""
+    from datax_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        train_centroids_kmeans,
+    )
+
+    # 3 orthogonal clusters of 20 vectors with deterministic perturbation
+    rows = []
+    for c in range(3):
+        for i in range(20):
+            v = [0.0] * 6
+            v[c * 2] = 1.0
+            v[c * 2 + 1] = 0.05 * ((i * 7 + c) % 5)  # small in-cluster spread
+            rows.append((c * 20 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    trained = train_centroids_kmeans(emb, n_centroids=3, iters=4)
+    # partition-independence: same centroids from a different layout
+    trained_rep = train_centroids_kmeans(emb.repartition(7), n_centroids=3, iters=4)
+    a = {r["cid"]: [round(x, 9) for x in r["cvec"]] for r in trained.collect()}
+    b = {r["cid"]: [round(x, 9) for x in r["cvec"]] for r in trained_rep.collect()}
+    assert a == b
+    # each trained centroid points at one distinct cluster axis
+    axes = {max(range(6), key=lambda d: abs(v[d])) // 2 for v in a.values()}
+    assert axes == {0, 1, 2}
+
+    q = emb.filter("vec_id in (5, 25, 45)").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = cosine_topk(emb, q, k=5).select("qid", "vec_id")
+
+    def recall(cents):
+        got = cosine_topk_ivf(emb, q, k=5, n_centroids=3, n_probe=1,
+                              centroids=cents).select("qid", "vec_id")
+        return got.join(exact, ["qid", "vec_id"]).count() / exact.count()
+
+    r_trained = recall(trained)
+    r_seed = recall(None)
+    assert r_trained == 1.0  # 1 probe suffices once centroids = clusters
+    assert r_trained >= r_seed
