@@ -80,6 +80,9 @@ def run_stream(
     merge_mode: str = "cow",
     compact_every: int | None = None,
     compact_delta_ratio: float | None = None,
+    ts_col: str = "warc_ts",
+    lsn_col: str = "lsn",
+    pre_merge=None,
 ):
     """Tail parquet change files in ``source_dir`` into the lake table.
 
@@ -117,10 +120,16 @@ def run_stream(
             f.write(fence_epoch)
 
     def handle(batch_df: DataFrame, batch_id: int):
+        if pre_merge is not None:
+            # batch-level decode hook (e.g. cells_to_changes for the
+            # column-granular multi-version stream)
+            batch_df = pre_merge(batch_df)
         metrics = apply_changes(
             table.load(),  # reload metadata each batch (fence freshness)
             batch_df,
             batch_id=batch_id,
+            ts_col=ts_col,
+            lsn_col=lsn_col,
             stream_id=stream_id,
             quarantine_dir=quarantine_dir,
             error_limits=error_limits,

@@ -15,6 +15,7 @@ timestamps). Properties pinned here:
   whole-row-LWW gap this module closes).
 """
 
+import os
 import random
 
 import pytest
@@ -205,3 +206,47 @@ def test_partial_column_update_preserves_other_columns(spark, tmp_path):
     merge_into(t, cells_to_changes(_df(spark, b2)), ts_col="ts", lsn_col="lsn", batch_id=1)
     got = {r["pk"]: (r["c0"], r["c1"]) for r in read_cell_rows(t, ["c0", "c1"]).collect()}
     assert got == {"k": ("keep-me", "new")}
+
+
+def test_cell_stream_end_to_end(spark, tmp_path):
+    """Column-granular CDC through the REAL streaming path: parquet cell
+    files tailed by run_stream (pre_merge=cells_to_changes decode per
+    micro-batch) into a cell-store LakeTable; final assembled rows match
+    the pure-python reference."""
+    import glob
+    import shutil
+
+    from datax_spark.cdc.pipeline import run_stream
+
+    base = str(tmp_path)
+    src, root, ckpt = f"{base}/src", f"{base}/table", f"{base}/ckpt"
+    cells = ADVERSARIAL + _random_cells(31, n=150)
+    df = _df(spark, cells).cache()
+    os.makedirs(src)
+    n_files, total = 3, len(cells)
+    per = total // n_files + 1
+    order = F.col("lsn")
+    for i in range(n_files):
+        stg = f"{base}/stg{i}"
+        df.filter((order > i * per) & (order <= (i + 1) * per)) \
+            .coalesce(1).write.parquet(stg)
+        shutil.move(glob.glob(f"{stg}/part-*.parquet")[0], f"{src}/f{i:03d}.parquet")
+
+    LakeTable.create(spark, root, cell_table_schema(), key_col="cell_key", num_buckets=4)
+    from datax_spark.cdc.cells import cells_to_changes as decode
+
+    run_stream(
+        spark, src, root, ckpt,
+        schema=df.schema,
+        max_files_per_trigger=1,
+        available_now=True,
+        timeout_sec=180,
+        ts_col="ts",
+        lsn_col="lsn",
+        pre_merge=decode,
+        merge_mode="mor",
+    )
+    t = LakeTable(spark, root).load()
+    got = {r["pk"]: tuple(r[c] for c in COLS)
+           for r in read_cell_rows(t, COLS).collect()}
+    assert got == pyref_cells(cells, COLS)
