@@ -509,6 +509,23 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode kernels (round 3): BMP/WAV/DXV payloads encoded from the
+    documented content formula, decoded back by the pure-numpy codecs, with
+    pixel/sample statistics — oracle recomputes stats from the formula."""
+    from datax_spark.operators.multimodal import decode_features, synthetic_media_encoded
+
+    return decode_features(synthetic_media_encoded(spark, 120))
+
+
+def _q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real frame fan-out over DXV containers: per-frame luminance + 4×4
+    nearest-neighbour thumbnail checksum (pins the resize kernel)."""
+    from datax_spark.operators.multimodal import decode_video_frames, synthetic_media_encoded
+
+    return decode_video_frames(synthetic_media_encoded(spark, 120))
+
+
 def _q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.operators.dedup import minhash_lsh_dedup
 
@@ -631,6 +648,50 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event gets the user's most recent
+    order at-or-before the event timestamp (operators/asof.py — the
+    union-scan plan, one exchange, no O(matches) blow-up). Oracle:
+    DuckDB ASOF LEFT JOIN over a tie-broken order snapshot."""
+    from datax_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice")
+    out = asof_join(
+        ev, orders, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"], right_tiebreak="o_orderkey")
+    return out.select(
+        "event_id", "user_id", F.date_format("ts", _TS_FMT_SPARK).alias("event_ts"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"))
+
+
+def _q_range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval containment via the binned range join
+    (operators/ranges.py): every ~97th event opens a 15-minute window;
+    count all events landing inside each window. Spark's native plan for
+    this predicate is BroadcastNestedLoopJoin (O(P·I)); the bin trick
+    turns it into an equi-join. Comparison runs at microsecond precision
+    (unix_micros) so sub-second boundaries match the oracle's
+    full-precision timestamp compare. Oracle: DuckDB IEJoin on the plain
+    non-equi form."""
+    from datax_spark.operators.ranges import interval_join_binned
+
+    ev = load(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; cast through the session's pinned-UTC zone —
+    # a fixed-offset monotonic map, so containment is precision-exact.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select(us.alias("p"), "event_id")
+    win_us = 900 * 1_000_000
+    iv = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"), us.alias("s"),
+        (us + win_us).alias("e"))
+    j = interval_join_binned(pts, iv, "p", "s", "e", bin_width=win_us)
+    return j.groupBy("window_id").agg(
+        F.count("*").alias("n_events"), F.sum("event_id").alias("sum_event_id"))
+
+
 def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -670,6 +731,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_source_const": _q_stream_source,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "media_decode_features": _q_media_decode_features,
+        "media_video_frames": _q_media_video_frames,
         "dedup_minhash_keep": _q_dedup_minhash_keep,
         "doc_quality_score": _q_doc_quality_score,
         "ann_recall": _q_ann_recall,
@@ -681,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": _q_rollup_orders,
         "setops_custkeys": _q_setops_custkeys,
         "customers_without_orders": _q_customers_without_orders,
+        "asof_enrich_events": _q_asof_enrich_events,
+        "range_join_event_windows": _q_range_join_event_windows,
     }
 
 
@@ -1072,6 +1137,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
+        "asof_enrich_events": f"""
+            WITH r AS (
+              SELECT o_custkey AS user_id, o_orderdate,
+                     max(o_orderkey) AS last_orderkey,
+                     arg_max(o_totalprice, o_orderkey) AS last_totalprice
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id,
+                   strftime(e.ts, '{_TS_FMT_DUCK}') AS event_ts,
+                   r.last_orderkey, r.last_totalprice
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        """,
+        "range_join_event_windows": """
+            SELECT i.event_id AS window_id, count(*) AS n_events,
+                   sum(e.event_id) AS sum_event_id
+            FROM events i JOIN events e
+              ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 15 MINUTE
+            WHERE i.event_id % 97 = 0
+            GROUP BY 1
+        """,
         # Hash-family-specific / approximate operators: DuckDB has no
         # xxhash64, so the oracle is an independent pure-python reference
         # implementation (datax_spark/oracle/pyref.py — shares no code
@@ -1118,6 +1204,19 @@ def _pyref_oracles() -> dict[str, str]:
         "media_frames": pyref.values_sql(
             pyref.media_frames_rows(120, every_ms=1000),
             [("media_id", "BIGINT"), ("frame_idx", "INTEGER"), ("frame_hex", "VARCHAR")],
+        ),
+        "media_decode_features": pyref.values_sql(
+            pyref.media_decoded_rows(120),
+            [("media_id", "BIGINT"), ("kind", "VARCHAR"), ("width", "INTEGER"),
+             ("height", "INTEGER"), ("n_frames", "INTEGER"), ("n_samples", "INTEGER"),
+             ("sample_rate", "INTEGER"), ("duration_ms", "INTEGER"),
+             ("mean_luma", "DOUBLE"), ("rms", "DOUBLE"), ("peak", "INTEGER"),
+             ("zcr", "DOUBLE"), ("thumb_checksum", "BIGINT")],
+        ),
+        "media_video_frames": pyref.values_sql(
+            pyref.media_video_frame_rows(120),
+            [("media_id", "BIGINT"), ("frame_idx", "INTEGER"),
+             ("frame_luma", "DOUBLE"), ("thumb_checksum", "BIGINT")],
         ),
         "dedup_minhash_keep": pyref.values_sql(
             pyref.minhash_keep_rows(sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5),

@@ -376,6 +376,94 @@ def media_frames_rows(n: int = 120, every_ms: int = 1000) -> list[tuple]:
     return out
 
 
+# ----------------------------------------------- real-codec media features
+#
+# Independent recompute of the round-3 REAL decode kernels
+# (operators/multimodal.py::decode_features / decode_video_frames over
+# operators/codecs.py). The engine encodes the documented content
+# formula into real BMP/WAV/DXV containers and decodes them back; this
+# oracle computes the expected statistics DIRECTLY from the formula in
+# pure python — any corruption introduced by the encoder or decoder
+# shows up as a stat mismatch. Arithmetic mirrors the engine's order
+# (per-frame mean then mean-of-means; sums are integer-exact in float64
+# so numpy pairwise == python serial).
+
+
+def _img_dims(m: int) -> tuple[int, int]:
+    return 16 + (m * 7) % 17, 12 + (m * 5) % 13  # (w, h)
+
+
+def _vid_dims(m: int) -> tuple[int, int, int]:
+    return 8 + (m % 9), 6 + (m % 7), 2 + (m * 3) % 7  # (w, h, nf)
+
+
+def _thumb_axes(h: int, w: int) -> tuple[list[int], list[int]]:
+    return [(i * h) // 4 for i in range(4)], [(j * w) // 4 for j in range(4)]
+
+
+def media_decoded_rows(n: int = 120) -> list[tuple]:
+    """(media_id, kind, width, height, n_frames, n_samples, sample_rate,
+    duration_ms, mean_luma, rms, peak, zcr, thumb_checksum)."""
+    out = []
+    for m in range(n):
+        k = ("image", "audio", "video")[m % 3]
+        row = {c: None for c in ("width", "height", "n_frames", "n_samples",
+                                 "sample_rate", "duration_ms", "mean_luma",
+                                 "rms", "peak", "zcr", "thumb_checksum")}
+        if k == "image":
+            w, h = _img_dims(m)
+            means = []
+            for c in range(3):
+                s = sum((m * 7 + y * 31 + x * 13 + c * 5) % 256
+                        for y in range(h) for x in range(w))
+                means.append(s / (h * w))
+            ys, xs = _thumb_axes(h, w)
+            thumb = sum((m * 7 + y * 31 + x * 13 + c * 5) % 256
+                        for y in ys for x in xs for c in range(3))
+            row.update(width=w, height=h,
+                       mean_luma=round(0.299 * means[0] + 0.587 * means[1] + 0.114 * means[2], 6),
+                       thumb_checksum=thumb)
+        elif k == "audio":
+            ns = 800 + (m * 37) % 1200
+            s = [((m * 2654435761 + i * 40503) % 65536) - 32768 for i in range(ns)]
+            zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+            row.update(n_samples=ns, sample_rate=8000,
+                       duration_ms=ns * 1000 // 8000,
+                       rms=round(math.sqrt(sum(float(v) * float(v) for v in s) / ns), 6),
+                       peak=max(abs(v) for v in s),
+                       zcr=round(zc / (ns - 1), 6))
+        else:
+            w, h, nf = _vid_dims(m)
+            fmeans = [sum((m * 11 + f * 17 + y * 3 + x * 5) % 256
+                          for y in range(h) for x in range(w)) / (h * w)
+                      for f in range(nf)]
+            row.update(width=w, height=h, n_frames=nf,
+                       mean_luma=round(sum(fmeans) / nf, 6))
+        out.append((m, k, row["width"], row["height"], row["n_frames"],
+                    row["n_samples"], row["sample_rate"], row["duration_ms"],
+                    row["mean_luma"], row["rms"], row["peak"], row["zcr"],
+                    row["thumb_checksum"]))
+    return out
+
+
+def media_video_frame_rows(n: int = 120) -> list[tuple]:
+    """(media_id, frame_idx, frame_luma, thumb_checksum) for every frame
+    of every DXV fixture row."""
+    out = []
+    for m in range(n):
+        if m % 3 != 2:
+            continue
+        w, h, nf = _vid_dims(m)
+        ys, xs = _thumb_axes(h, w)
+        for f in range(nf):
+            s = sum((m * 11 + f * 17 + y * 3 + x * 5) % 256
+                    for y in range(h) for x in range(w))
+            thumb = sum((m * 11 + f * 17 + y * 3 + x * 5) % 256
+                        for y in ys for x in xs)
+            out.append((m, f, round(s / (h * w), 6), thumb))
+    return out
+
+
 # ------------------------------------------------------------- SQL emitter
 
 def values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:

@@ -1,0 +1,149 @@
+"""Real decode kernels (operators/codecs.py + the round-3 multimodal
+decode path): golden-byte format anchors, round-trips, corrupt-payload
+errors, and engine-vs-pure-python-oracle parity."""
+
+import numpy as np
+import pytest
+
+from datax_spark.operators import codecs
+from datax_spark.operators.multimodal import (
+    _decode_one,
+    _gen_audio,
+    _gen_image,
+    _gen_video,
+    decode_features,
+    decode_video_frames,
+    synthetic_media_encoded,
+)
+from datax_spark.oracle import pyref
+
+
+# ---------------------------------------------------------------- golden bytes
+
+def test_bmp_golden_bytes():
+    """A hand-assembled 2×2 24-bpp BMP (public format: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BGR, bottom-up, 4-byte row padding) decodes to the
+    expected pixels — anchors the FORMAT, not just our round-trip."""
+    # pixels (top-down RGB): (255,0,0) (0,255,0) / (10,20,30) (0,0,255)
+    # rows stored bottom-up as BGR with 2 bytes padding (stride 8):
+    body = bytes([30, 20, 10, 255, 0, 0, 0, 0,  # bottom row: (10,20,30),(0,0,255)
+                  0, 0, 255, 0, 255, 0, 0, 0])  # top row: (255,0,0),(0,255,0)
+    import struct
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    rgb = codecs.decode_bmp(hdr + info + body)
+    expect = np.array([[[255, 0, 0], [0, 255, 0]], [[10, 20, 30], [0, 0, 255]]], dtype=np.uint8)
+    assert np.array_equal(rgb, expect)
+
+
+def test_wav_golden_bytes():
+    """Hand-assembled RIFF/WAVE PCM16 with an extra LIST chunk before
+    data — the chunk walk must skip unknown chunks."""
+    import struct
+    samples = struct.pack("<4h", 100, -200, 300, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", 16) + fmt
+              + b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd chunk + pad
+              + b"data" + struct.pack("<I", len(samples)) + samples)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    s, rate, ch = codecs.decode_wav(wav)
+    assert rate == 8000 and ch == 1
+    assert s.tolist() == [100, -200, 300, -32768]
+
+
+# ------------------------------------------------------------------ round-trips
+
+def test_bmp_roundtrip_odd_width():
+    """Width 3 forces row padding (stride 12 ≠ 9)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img)
+
+
+def test_wav_roundtrip_stereo():
+    s = np.arange(-1000, 1000, 7, dtype=np.int16)
+    out, rate, ch = codecs.decode_wav(codecs.encode_wav(s, 44100, channels=2))
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(out, s)
+
+
+def test_dxv_roundtrip_and_frame_views():
+    frames = np.arange(3 * 4 * 5, dtype=np.uint8).reshape(3, 4, 5)
+    blob = codecs.encode_dxv(frames)
+    assert codecs.dxv_info(blob) == (5, 4, 3)
+    for i in range(3):
+        assert np.array_equal(codecs.decode_dxv_frame(blob, i), frames[i])
+    lumas = codecs.dxv_frame_lumas(blob)
+    assert np.allclose(lumas, frames.reshape(3, -1).mean(axis=1))
+
+
+def test_resize_nearest_identity_and_downscale():
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    assert np.array_equal(codecs.resize_nearest(img, 8, 8), img)
+    half = codecs.resize_nearest(img, 4, 4)
+    assert np.array_equal(half, img[::2, ::2])
+
+
+# ------------------------------------------------------------- corrupt payloads
+
+@pytest.mark.parametrize(
+    "payload,msg",
+    [
+        (b"XX" + b"\x00" * 60, "magic"),
+        (b"BM" + b"\x00" * 10, "truncated header"),
+        (b"RIFF\x00\x00\x00\x00WAVE", "missing fmt"),
+        (b"DXV1" + b"\x00" * 6, "magic"),
+    ],
+)
+def test_corrupt_payloads_raise_valueerror(payload, msg):
+    decoder = {b"XX": codecs.decode_bmp, b"BM": codecs.decode_bmp,
+               b"RI": codecs.decode_wav, b"DX": codecs.dxv_info}[payload[:2]]
+    with pytest.raises(ValueError, match=msg):
+        decoder(payload)
+
+
+def test_bmp_unsupported_bpp_rejected():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    blob = bytearray(codecs.encode_bmp(img))
+    blob[28] = 8  # bpp field
+    with pytest.raises(ValueError, match="bpp=8"):
+        codecs.decode_bmp(bytes(blob))
+
+
+# ------------------------------------------------- engine vs pure-python oracle
+
+def test_decode_features_match_pyref_without_spark():
+    """encode(formula) → decode → stats must equal the oracle's direct
+    formula→stats computation, for every fixture row (no Spark needed —
+    this is the same kernel the mapInPandas stage calls per row)."""
+    expect = {r[0]: r for r in pyref.media_decoded_rows(60)}
+    for m in range(60):
+        kind = ("image", "audio", "video")[m % 3]
+        payload = {
+            "image": lambda: codecs.encode_bmp(_gen_image(m)),
+            "audio": lambda: codecs.encode_wav(_gen_audio(m), 8000),
+            "video": lambda: codecs.encode_dxv(_gen_video(m)),
+        }[kind]()
+        got = _decode_one(kind, payload)
+        e = expect[m]
+        assert (got["width"], got["height"], got["n_frames"], got["n_samples"],
+                got["sample_rate"], got["duration_ms"], got["mean_luma"],
+                got["rms"], got["peak"], got["zcr"], got["thumb_checksum"]) == e[2:]
+
+
+def test_decode_features_spark_path(spark):
+    """The mapInPandas plumbing end-to-end on a small fixture."""
+    rows = decode_features(synthetic_media_encoded(spark, 30, partitions=4)).collect()
+    assert len(rows) == 30
+    expect = {r[0]: r for r in pyref.media_decoded_rows(30)}
+    for r in rows:
+        e = expect[r.media_id]
+        assert r.kind == e[1]
+        assert (r.mean_luma, r.rms, r.thumb_checksum) == (e[8], e[9], e[12])
+
+
+def test_video_frames_spark_path(spark):
+    rows = decode_video_frames(synthetic_media_encoded(spark, 30, partitions=4)).collect()
+    expect = pyref.media_video_frame_rows(30)
+    got = sorted((r.media_id, r.frame_idx, r.frame_luma, r.thumb_checksum) for r in rows)
+    assert got == sorted(expect)
