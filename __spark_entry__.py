@@ -692,6 +692,65 @@ def _q_range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), F.sum("event_id").alias("sum_event_id"))
 
 
+def _shard_tail_fixture() -> str:
+    """Deterministic 3-shard × 2-file log-tail fixture under the system
+    temp dir (built once, atomic rename to dodge concurrent builders)."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.join(tempfile.gettempdir(), "datax_shard_tail_fixture_v1")
+    if os.path.isdir(root):
+        return root
+    tmp = root + f".build{os.getpid()}"
+    for s in range(3):
+        d = os.path.join(tmp, f"shard={s}")
+        os.makedirs(d, exist_ok=True)
+        for fi in range(2):
+            lsns = list(range(s * 100_000 + fi * 50, s * 100_000 + fi * 50 + 50))
+            t = pa.table({
+                "lsn": pa.array(lsns, pa.int64()),
+                "op": pa.array(["I" if v % 10 < 8 else "U" for v in lsns]),
+                "url": pa.array([f"http://s{s}.example/{v % 37}" for v in lsns]),
+            })
+            pq.write_table(t, os.path.join(d, f"f{fi:04d}.parquet"))
+    try:
+        os.rename(tmp, root)
+    except OSError:  # another process won the race
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+def _q_shard_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded log-tail Python DataSource (sources/shardtail.py —
+    the loghub/datahub/OTS-stream reader analog, SURVEY §2.2 #14) read
+    in batch mode: one partition per shard, footer-only planning. Oracle:
+    DuckDB reads the identical shard files directly, checking the
+    source's slicing/assembly end-to-end."""
+    from datax_spark.sources.shardtail import register_shard_tail
+
+    root = _shard_tail_fixture()
+    register_shard_tail(spark)
+    df = spark.read.format("shard_tail").option("path", root).load()
+    return df.groupBy("op").agg(
+        F.count("*").alias("n_rows"), F.sum("lsn").alias("sum_lsn"),
+        F.count_distinct("url").alias("n_urls"))
+
+
+def _q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV k-minimum-values distinct estimate over document texts
+    (operators/sketches.py) — a deterministic, oracle-auditable
+    alternative to HLL: the pure-python xxh64 reference recomputes the
+    identical sketch state and estimate."""
+    from datax_spark.operators.sketches import kmv_distinct
+
+    docs = load(spark, sf_dir, "documents")
+    return kmv_distinct(docs, ["text"], k=128)
+
+
 def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -746,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "asof_enrich_events": _q_asof_enrich_events,
         "range_join_event_windows": _q_range_join_event_windows,
+        "sketch_kmv_distinct": _q_sketch_kmv_distinct,
+        "shard_tail_read": _q_shard_tail_read,
     }
 
 
@@ -1225,6 +1286,17 @@ def _pyref_oracles() -> dict[str, str]:
         "ann_ivf_topk": pyref.values_sql(
             pyref.ivf_topk_rows(sf_dir, k=10, n_centroids=16, n_probe=4),
             [("qid", "BIGINT"), ("vec_id", "BIGINT"), ("cosine", "DOUBLE"), ("rank", "INTEGER")],
+        ),
+        "shard_tail_read": f"""
+            SELECT op, count(*) AS n_rows, sum(lsn) AS sum_lsn,
+                   count(DISTINCT url) AS n_urls
+            FROM read_parquet('{_shard_tail_fixture()}/shard=*/f*.parquet')
+            GROUP BY op
+        """,
+        "sketch_kmv_distinct": pyref.values_sql(
+            pyref.kmv_rows(sf_dir, "documents", "text", 128),
+            [("k", "INTEGER"), ("n_kept", "INTEGER"),
+             ("kth_hash", "BIGINT"), ("est_distinct", "DOUBLE")],
         ),
         "ann_recall": pyref.values_sql(
             pyref.ann_recall_rows(sf_dir, k=10, num_planes=6, num_tables=6),

@@ -1,0 +1,67 @@
+"""Deterministic cardinality sketches.
+
+``approx_count_distinct`` (HyperLogLog++) is the built-in answer, but
+its register layout is opaque to any independent oracle. The KMV
+(k-minimum-values) estimator [Bar-Yossef et al. 2002] gives the same
+"count distinct without holding the distinct set" capability with a
+fully auditable definition: hash every value with xxhash64, keep the k
+smallest DISTINCT hashes, and estimate
+
+    N̂ = (k - 1) / u_k,   u_k = (h_k + 2^63 + 1) / 2^64
+
+(u_k maps the signed 64-bit k-th smallest hash onto (0, 1]). The whole
+sketch is reproducible bit-for-bit by the pure-python xxh64 oracle, so
+unlike HLL it slots into the driver's DuckDB hash-compare gate.
+
+Plan shape: one hash-aggregate on the hash value (map-side partial
+dedup, so the exchange carries each partition's distinct hashes once,
+never raw rows) followed by TakeOrderedAndProject for the global
+k-smallest — no full sort, no collect of the distinct set. At 10^9+
+distinct keys the dedup exchange is the dominant cost; repeated
+estimations over the same (growing) table should pass ``prefilter``
+= a previous run's k-th hash to cut the scan down to survivors before
+the exchange (standard KMV refinement; estimate unchanged because the
+k smallest are always below any previous k-th value).
+
+Relative error ≈ 1/sqrt(k-2) (~6% at k=256).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_TWO63 = 1 << 63
+_TWO64 = float(1 << 64)
+
+
+def kmv_kth_hash(df: DataFrame, cols: list[str], k: int = 256,
+                 prefilter: int | None = None) -> DataFrame:
+    """The sketch state: k smallest distinct xxhash64 values of ``cols``
+    (fewer rows than k means the input had < k distinct values — the
+    estimate is then exact)."""
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    h = F.xxhash64(*[F.col(c) for c in cols]).alias("h")
+    out = df.select(h)
+    if prefilter is not None:
+        out = out.filter(F.col("h") <= F.lit(int(prefilter)))
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256,
+                 prefilter: int | None = None) -> DataFrame:
+    """One-row DataFrame: (k, n_kept, kth_hash, est_distinct).
+
+    ``est_distinct`` is exact (= n_kept) when the input has fewer than k
+    distinct values, else the KMV estimate from the k-th smallest hash.
+    """
+    kept = kmv_kth_hash(df, cols, k=k, prefilter=prefilter)
+    u_k = (F.max("h").cast("double") + F.lit(float(_TWO63 + 1))) / F.lit(_TWO64)
+    est = F.when(F.count("h") < k, F.count("h").cast("double")) \
+           .otherwise(F.lit(float(k - 1)) / u_k)
+    return kept.agg(
+        F.lit(k).alias("k"),
+        F.count("h").cast("int").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.round(est, 2).alias("est_distinct"),
+    )

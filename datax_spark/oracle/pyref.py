@@ -376,6 +376,27 @@ def media_frames_rows(n: int = 120, every_ms: int = 1000) -> list[tuple]:
     return out
 
 
+# ------------------------------------------------------------- KMV sketch
+
+def kmv_rows(sf_dir: str, table: str, col: str, k: int,
+             kind: str = "str") -> list[tuple]:
+    """(k, n_kept, kth_hash, est_distinct) — independent recompute of
+    operators/sketches.py::kmv_distinct: xxhash64 every value, keep the
+    k smallest distinct hashes, N̂ = (k-1)/u_k with
+    u_k = (float(h_k) + float(2^63+1)) / float(2^64) — the float() casts
+    replicate the JVM long→double rounding exactly."""
+    pdf = _load_pandas(sf_dir, table)
+    hashes = sorted({spark_xxhash64((kind, v)) for v in pdf[col] if v is not None})
+    kept = hashes[:k]
+    n_kept = len(kept)
+    if n_kept < k:
+        est = float(n_kept)
+    else:
+        u_k = (float(kept[-1]) + float(2**63 + 1)) / float(2**64)
+        est = float(k - 1) / u_k
+    return [(k, n_kept, kept[-1] if kept else None, _round_half_up(est, 2))]
+
+
 # ----------------------------------------------- real-codec media features
 #
 # Independent recompute of the round-3 REAL decode kernels

@@ -1,0 +1,259 @@
+"""Sharded log-tail as a native PySpark 4 Python DataSource.
+
+This is the engine's loghub/datahub/OTS-stream reader analog done
+properly: DataX's log tails expose K shards, each an ordered record
+sequence with a per-shard cursor persisted as a checkpoint
+(``otsstreamreader/.../model/ShardCheckpoint.java:8-75``,
+``loghubreader`` shard→task assignment). Until round 3 the repo stood
+this in with Spark's file-stream source over one directory (SURVEY
+§2.2 #14 "partial"); this module implements the real contract with the
+Spark 4 ``pyspark.sql.datasource`` API:
+
+- layout: ``<path>/shard=<id>/*.parquet``, files lexically ordered =
+  record order within the shard (the only ordering a log shard
+  guarantees; cross-shard order is undefined, exactly like the
+  reference).
+- stream offsets: ``{shard_id: cumulative_row_position}`` — a JSON
+  dict checkpointed by Spark's offset WAL; resume continues each shard
+  from its cursor (ShardCheckpoint persist/resume semantics).
+- two stream readers, selected by option: the UNBOUNDED tail uses a
+  ``DataSourceStreamReader`` (one InputPartition per advancing shard →
+  source parallelism = shard count, the reference's one-task-per-shard
+  split, §2.2 #9; Arrow RecordBatch reads, zero row-at-a-time Python);
+  setting ``maxRowsPerTrigger`` routes to a
+  ``SimpleDataSourceStreamReader`` whose ``read(start)`` slices AND
+  picks the next offset from the Spark-provided start — the only
+  stateless (hence instance-churn-safe) place to rate-limit (the
+  record-budget half of DataX's channel throttle, Channel.java:176-239,
+  split across shards with remainder spread; byte budgets:
+  ``split.trigger_byte_budget``).
+- late-arriving files append to a shard and are picked up by the next
+  offset scan; brand-new shard directories join at position 0.
+
+Scale notes: the directory scan reads only parquet FOOTER row counts
+(os.scandir + metadata, no data I/O) on the driver per trigger; record
+slicing happens executor-side per shard. At 10^4+ files per shard the
+footer scan should be replaced by a manifest — the offset/partition
+contract stays identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+
+@dataclass
+class ShardSlice(InputPartition):
+    """Rows [start, end) of one shard, with the shard's ordered file
+    list and per-file cumulative row offsets (end-exclusive)."""
+
+    shard: str
+    files: list  # [(path, cum_rows_before, n_rows), ...] in shard order
+    start: int
+    end: int
+
+
+def _scan_shards(path: str) -> dict[str, list]:
+    """shard_id -> ordered [(file, cum_before, n_rows)] using footer
+    metadata only."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    shards: dict[str, list] = {}
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"shard_tail path does not exist: {path}")
+    for entry in sorted(os.scandir(path), key=lambda e: e.name):
+        if not (entry.is_dir() and entry.name.startswith("shard=")):
+            continue
+        sid = entry.name.split("=", 1)[1]
+        files, cum = [], 0
+        for f in sorted(os.scandir(entry.path), key=lambda e: e.name):
+            if not f.name.endswith(".parquet") or f.name.startswith((".", "_")):
+                continue
+            n = pq.read_metadata(f.path).num_rows
+            files.append((f.path, cum, n))
+            cum += n
+        shards[sid] = files
+    if not shards:
+        raise FileNotFoundError(f"no shard=* directories under {path}")
+    return shards
+
+
+def _read_slice(part: ShardSlice):
+    """Yield Arrow RecordBatches for rows [start, end) of the shard."""
+    import pyarrow.parquet as pq
+
+    for fpath, cum, n in part.files:
+        lo, hi = max(part.start - cum, 0), min(part.end - cum, n)
+        if lo >= hi:
+            continue
+        table = pq.read_table(fpath).slice(lo, hi - lo)
+        yield from table.to_batches()
+
+
+class ShardTailBatchReader(DataSourceReader):
+    def __init__(self, path: str):
+        self._shards = _scan_shards(path)
+
+    def partitions(self):
+        return [
+            ShardSlice(sid, files, 0, files[-1][1] + files[-1][2] if files else 0)
+            for sid, files in self._shards.items()
+        ]
+
+    def read(self, partition):
+        yield from _read_slice(partition)
+
+
+def _available(path: str) -> dict:
+    return {sid: (files[-1][1] + files[-1][2]) if files else 0
+            for sid, files in _scan_shards(path).items()}
+
+
+def _budgeted_end(start: dict, avail: dict, max_rows: int | None) -> dict:
+    """Next offset: advance every shard toward availability, total advance
+    capped by ``max_rows`` split across advancing shards with remainder
+    spread (SingleTableSplitUtil-style). Always ≥ start — offsets are
+    monotone no matter which reader instance computes them."""
+    advancing = [s for s in sorted(avail) if avail[s] > start.get(s, 0)]
+    nxt = {s: max(avail[s], start.get(s, 0)) for s in avail}
+    nxt.update({s: v for s, v in start.items() if s not in nxt})
+    if max_rows is not None and advancing:
+        base, rem = divmod(max_rows, len(advancing))
+        for i, s in enumerate(advancing):
+            budget = max(base + (1 if i < rem else 0), 1)
+            nxt[s] = min(avail[s], start.get(s, 0) + budget)
+    return nxt
+
+
+class ShardTailStreamReader(DataSourceStreamReader):
+    """Executor-parallel reader (one task per advancing shard) for the
+    UNBOUNDED tail. Deliberately stateless: ``latestOffset`` reports full
+    availability, which is monotone because shard files are append-only.
+    Rate-limited pacing does NOT live here — an earlier revision budgeted
+    ``latestOffset`` from reader-local memory of prior returns, and a
+    recreated reader instance then reported an offset BELOW the WAL's
+    (Spark compares offsets by equality, not order, so it planned the
+    regressed range as a new batch → observed 1.75-2.25× duplicate
+    delivery). Bounded triggers route to the simple reader below, whose
+    pacing is a pure function of the Spark-provided start offset."""
+
+    def __init__(self, path: str):
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {sid: 0 for sid in _scan_shards(self._path)}
+
+    def latestOffset(self) -> dict:
+        return _available(self._path)
+
+    def partitions(self, start: dict, end: dict):
+        shards = _scan_shards(self._path)
+        return [
+            ShardSlice(sid, shards.get(sid, []), start.get(sid, 0), end[sid])
+            for sid in sorted(end)
+            if end[sid] > start.get(sid, 0)
+        ]
+
+    def read(self, partition):
+        yield from _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # cursors live in Spark's checkpoint WAL (ShardCheckpoint analog)
+
+
+class ShardTailSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Rate-limited trickle reader. ``read(start)`` both slices the data
+    and CHOOSES the next offset from the Spark-provided start, so pacing
+    is stateless — correct under driver-process recreation, restart, and
+    replay (``readBetweenOffsets`` re-reads any WAL range
+    deterministically). Reads run on the driver (the documented
+    SimpleDataSourceStreamReader prefetch model): right for bounded
+    trigger budgets; the unbounded bulk tail uses the executor-parallel
+    reader above."""
+
+    def __init__(self, path: str, max_rows_per_trigger: int):
+        self._path = path
+        self._max_rows = max_rows_per_trigger
+
+    def initialOffset(self) -> dict:
+        return {sid: 0 for sid in _scan_shards(self._path)}
+
+    def read(self, start: dict):
+        end = _budgeted_end(start, _available(self._path), self._max_rows)
+        if end == start:
+            return iter([]), dict(start)
+        return self.readBetweenOffsets(start, end), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # materialized (not a generator): Spark's prefetch cache copies
+        # and pickles the returned iterator — list iterators support both
+        shards = _scan_shards(self._path)
+        rows = []
+        for sid in sorted(end):
+            lo, hi = start.get(sid, 0), end[sid]
+            if hi <= lo:
+                continue
+            for batch in _read_slice(ShardSlice(sid, shards.get(sid, []), lo, hi)):
+                cols = [col.to_pylist() for col in batch.columns]
+                rows.extend(zip(*cols))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class ShardTailDataSource(DataSource):
+    """``spark.read.format("shard_tail").option("path", root)`` /
+    ``spark.readStream...`` after ``register_shard_tail(spark)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "shard_tail"
+
+    def schema(self):
+        ddl = self.options.get("schema")
+        if ddl:
+            return ddl
+        # infer from the first shard file's parquet schema
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        shards = _scan_shards(self.options["path"])
+        for files in shards.values():
+            if files:
+                return from_arrow_schema(pq.read_schema(files[0][0]))
+        raise ValueError("shard_tail: no files to infer schema from; pass a 'schema' option")
+
+    def reader(self, schema):
+        return ShardTailBatchReader(self.options["path"])
+
+    def streamReader(self, schema):
+        mr = self.options.get("maxRowsPerTrigger")
+        if mr:
+            # raising routes Spark's _streamReader fallback to
+            # simpleStreamReader — option-driven reader selection
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "rate-limited parallel streamReader"},
+            )
+        return ShardTailStreamReader(self.options["path"])
+
+    def simpleStreamReader(self, schema):
+        mr = self.options.get("maxRowsPerTrigger")
+        return ShardTailSimpleStreamReader(self.options["path"], int(mr))
+
+
+def register_shard_tail(spark) -> None:
+    spark.dataSource.register(ShardTailDataSource)

@@ -1,0 +1,113 @@
+"""Sharded log-tail Python DataSource (sources/shardtail.py): batch
+parity, stream rate limiting, kill/resume exactly-once, late files."""
+
+import glob
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.sources.shardtail import register_shard_tail
+
+
+def _write_shard_file(root: str, shard: int, file_idx: int, lsns: list[int]):
+    d = os.path.join(root, f"shard={shard}")
+    os.makedirs(d, exist_ok=True)
+    t = pa.table({
+        "lsn": pa.array(lsns, pa.int64()),
+        "op": pa.array(["I"] * len(lsns)),
+        "url": pa.array([f"http://s{shard}.example/{v}" for v in lsns]),
+    })
+    pq.write_table(t, os.path.join(d, f"f{file_idx:04d}.parquet"))
+
+
+def _fixture(root: str, n_shards: int = 3, files_per_shard: int = 3, rows_per_file: int = 40):
+    for s in range(n_shards):
+        for f in range(files_per_shard):
+            base = s * 100_000 + f * rows_per_file
+            _write_shard_file(root, s, f, list(range(base, base + rows_per_file)))
+    return n_shards * files_per_shard * rows_per_file
+
+
+@pytest.fixture()
+def shard_root(tmp_path):
+    root = str(tmp_path / "tail")
+    total = _fixture(root)
+    return root, total
+
+
+def test_batch_read_matches_plain_parquet(spark, shard_root):
+    root, total = shard_root
+    register_shard_tail(spark)
+    got = spark.read.format("shard_tail").option("path", root).load()
+    assert got.count() == total
+    plain = spark.read.parquet(*glob.glob(f"{root}/shard=*/f*.parquet")).select(*got.columns)
+    assert got.exceptAll(plain).count() == 0 and plain.exceptAll(got).count() == 0
+    # one partition per shard (the reference's one-task-per-shard split)
+    assert got.rdd.getNumPartitions() == 3
+
+
+def _run_stream(spark, root, out, ckpt, max_rows=None, stop_rows=None, timeout=120):
+    register_shard_tail(spark)
+    reader = spark.readStream.format("shard_tail").option("path", root)
+    if max_rows is not None:
+        reader = reader.option("maxRowsPerTrigger", str(max_rows))
+    q = (reader.load().writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .trigger(processingTime="300 milliseconds").start())
+    try:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if stop_rows is not None and n >= stop_rows:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def test_stream_rate_limited_and_complete(spark, shard_root, tmp_path):
+    root, total = shard_root
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_stream(spark, root, out, ckpt, max_rows=90, stop_rows=total)
+    df = spark.read.parquet(out)
+    assert df.count() == total  # every row exactly once
+    assert df.select("lsn").distinct().count() == total
+    # rate limit held: >1 micro-batch committed (360 rows / 90-row budget)
+    commits = [f for f in os.listdir(os.path.join(ckpt, "commits")) if not f.startswith(".")]
+    assert len(commits) >= 4
+
+
+def test_stream_kill_resume_exactly_once(spark, shard_root, tmp_path):
+    root, total = shard_root
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # phase 1: small budget, stop early mid-stream
+    _run_stream(spark, root, out, ckpt, max_rows=60, stop_rows=120)
+    n1 = spark.read.parquet(out).count()
+    assert 0 < n1 < total
+    # phase 2: resume from checkpoint, drain to completion
+    _run_stream(spark, root, out, ckpt, max_rows=1000, stop_rows=total)
+    df = spark.read.parquet(out)
+    assert df.count() == total
+    assert df.select("lsn").distinct().count() == total  # no dup, no loss
+
+
+def test_late_files_picked_up(spark, shard_root, tmp_path):
+    root, total = shard_root
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _run_stream(spark, root, out, ckpt, stop_rows=total)
+    assert spark.read.parquet(out).count() == total
+    # append a late file to shard 1 and a brand-new shard, then resume
+    _write_shard_file(root, 1, 99, [999_001, 999_002])
+    _write_shard_file(root, 7, 0, [777_001, 777_002, 777_003])
+    _run_stream(spark, root, out, ckpt, stop_rows=total + 5)
+    df = spark.read.parquet(out)
+    assert df.count() == total + 5
+    assert df.filter(F.col("url").startswith("http://s7.")).count() == 3

@@ -1,0 +1,49 @@
+"""KMV distinct sketch (operators/sketches.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.operators.sketches import kmv_distinct, kmv_kth_hash
+
+
+def test_exact_below_k(spark):
+    df = spark.range(0, 50).select(F.col("id").cast("string").alias("v"))
+    row = kmv_distinct(df, ["v"], k=128).first()
+    assert row.n_kept == 50 and row.est_distinct == 50.0
+
+
+def test_estimate_within_error_bound(spark):
+    """10k distinct values, k=256 → relative error ≈ 1/sqrt(k-2) ≈ 6.3%;
+    assert a loose 3-sigma band (deterministic, so this pins behavior)."""
+    df = spark.range(0, 10_000).select(F.col("id").cast("string").alias("v"))
+    est = kmv_distinct(df, ["v"], k=256).first().est_distinct
+    assert 10_000 * 0.81 < est < 10_000 * 1.19
+
+
+def test_duplicates_do_not_inflate(spark):
+    base = spark.range(0, 2_000).select(F.col("id").cast("string").alias("v"))
+    dup = base.union(base).union(base)
+    assert (kmv_distinct(dup, ["v"], k=256).first().est_distinct
+            == kmv_distinct(base, ["v"], k=256).first().est_distinct)
+
+
+def test_prefilter_preserves_sketch(spark):
+    """Passing a previous run's k-th hash as prefilter must not change the
+    sketch (the k smallest are all <= any previous k-th value)."""
+    df = spark.range(0, 5_000).select(F.col("id").cast("string").alias("v"))
+    kth = kmv_distinct(df, ["v"], k=128).first().kth_hash
+    plain = kmv_distinct(df, ["v"], k=128).first()
+    filtered = kmv_distinct(df, ["v"], k=128, prefilter=kth).first()
+    assert (plain.kth_hash, plain.est_distinct) == (filtered.kth_hash, filtered.est_distinct)
+
+
+def test_kth_hash_state_is_k_rows_sorted(spark):
+    df = spark.range(0, 1_000).select(F.col("id").cast("string").alias("v"))
+    hashes = [r.h for r in kmv_kth_hash(df, ["v"], k=64).collect()]
+    assert len(hashes) == 64 and hashes == sorted(hashes)
+
+
+def test_k_guard(spark):
+    df = spark.range(0, 10).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        kmv_kth_hash(df, ["v"], k=2)
