@@ -83,6 +83,8 @@ def run_stream(
     ts_col: str = "warc_ts",
     lsn_col: str = "lsn",
     pre_merge=None,
+    source_format: str = "files",
+    max_rows_per_trigger: int | None = None,
 ):
     """Tail parquet change files in ``source_dir`` into the lake table.
 
@@ -150,15 +152,30 @@ def run_stream(
                 metrics["compacted_snapshot"] = snap["snapshot_id"]
         write_metrics(table_root, metrics)
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if max_bytes_per_trigger is not None:
-        # the reference's per-channel byte-rate throttle
-        # (Channel.java:176-239) mapped to admission control: size with
-        # split.trigger_byte_budget(trigger_interval, ...)
-        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
-    stream = reader.parquet(source_dir)
+    if source_format == "shard_tail":
+        # the native sharded log-tail source (sources/shardtail.py) —
+        # per-shard cursor offsets, one task per advancing shard
+        from datax_spark.sources.shardtail import register_shard_tail
+
+        register_shard_tail(spark)
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        reader = (spark.readStream.format("shard_tail")
+                  .option("path", source_dir).option("schema", ddl))
+        if max_rows_per_trigger is not None:
+            reader = reader.option("maxRowsPerTrigger", max_rows_per_trigger)
+        stream = reader.load()
+    elif source_format == "files":
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        if max_bytes_per_trigger is not None:
+            # the reference's per-channel byte-rate throttle
+            # (Channel.java:176-239) mapped to admission control: size with
+            # split.trigger_byte_budget(trigger_interval, ...)
+            reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+        stream = reader.parquet(source_dir)
+    else:
+        raise ValueError(f"unknown source_format {source_format!r}")
     writer = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
@@ -168,6 +185,19 @@ def run_stream(
         writer = writer.trigger(availableNow=True)
         q = writer.start()
         q.awaitTermination(timeout_sec)
+        if source_format == "shard_tail" and max_rows_per_trigger is not None:
+            # the rate-limited simple stream reader drains ONE trigger
+            # budget per availableNow run (Spark bounds the run at the
+            # prefetched offset) — loop runs until a run applies nothing
+            import time as _t
+
+            deadline = _t.time() + (timeout_sec or 600)
+            while _t.time() < deadline:
+                before = seen["n"]
+                q = writer.start()
+                q.awaitTermination(timeout_sec)
+                if seen["n"] == before:
+                    break
         return q
     q = writer.start()
     if stop_after_batches is not None:

@@ -133,6 +133,16 @@ def _read(spark: SparkSession, cfg: JobConfig) -> DataFrame:
             predicates=p.get("predicates"),
             **p.get("options", {}),
         )
+    if name in ("loghubreader", "shardtailreader"):
+        # sharded log tail (loghub/datahub/OTS-stream analog) — batch
+        # (bounded) read of the shard set via the native Python source
+        from datax_spark.sources.shardtail import register_shard_tail
+
+        register_shard_tail(spark)
+        r = spark.read.format("shard_tail").option("path", p["path"])
+        if p.get("schema"):
+            r = r.option("schema", p["schema"])
+        return r.load()
     raise ValueError(f"unknown reader {name!r}")
 
 

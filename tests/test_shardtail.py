@@ -99,6 +99,51 @@ def test_stream_kill_resume_exactly_once(spark, shard_root, tmp_path):
     assert df.select("lsn").distinct().count() == total  # no dup, no loss
 
 
+def test_cdc_pipeline_through_shard_tail(spark, tmp_path):
+    """End-to-end: change stream sharded by key hash → run_stream with
+    source_format='shard_tail' → lake MERGE; final state matches the LWW
+    SQL oracle in both the unbounded and rate-limited modes."""
+    from pyspark.sql import types as T
+
+    from datax_spark.cdc.generator import changes_df
+    from datax_spark.cdc.pipeline import CHANGE_SCHEMA, run_stream
+    from datax_spark.lake.table import LakeTable
+
+    base = str(tmp_path)
+    ch = changes_df(spark, 3000, n_keys=400, partitions=4).cache()
+    # shard by key hash (per-key ordering preserved within a shard — the
+    # guarantee a real log tail gives); files in lsn order per shard
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = ch.orderBy("lsn").toPandas()
+    src = f"{base}/tail"
+    for s in range(3):
+        part = pdf[pdf["url"].map(hash) % 3 == s].reset_index(drop=True)
+        d = os.path.join(src, f"shard={s}")
+        os.makedirs(d, exist_ok=True)
+        for fi, lo in enumerate(range(0, len(part), 400)):
+            t = pa.Table.from_pandas(part.iloc[lo:lo + 400], preserve_index=False)
+            i = t.schema.get_field_index("warc_ts")
+            t = t.set_column(i, "warc_ts", t["warc_ts"].cast(pa.timestamp("us")))
+            pq.write_table(t, os.path.join(d, f"f{fi:04d}.parquet"))
+
+    ch.createOrReplaceTempView("_st_ch")
+    expected = spark.sql(
+        "SELECT url FROM (SELECT url, max_by(op, struct(warc_ts, lsn)) fop "
+        "FROM _st_ch GROUP BY url) WHERE fop <> 'D'")
+
+    schema = T.StructType([f for f in CHANGE_SCHEMA.fields if f.name not in ("lsn", "op")])
+    for mode, extra in (("bulk", {}), ("trickle", {"max_rows_per_trigger": 800})):
+        root, ckpt = f"{base}/table_{mode}", f"{base}/ckpt_{mode}"
+        LakeTable.create(spark, root, schema, key_col="url", num_buckets=8)
+        run_stream(spark, src, root, ckpt, source_format="shard_tail",
+                   available_now=True, timeout_sec=240, **extra)
+        got = LakeTable(spark, root).load().read().select("url")
+        assert got.exceptAll(expected).count() == 0
+        assert expected.exceptAll(got).count() == 0
+
+
 def test_late_files_picked_up(spark, shard_root, tmp_path):
     root, total = shard_root
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
