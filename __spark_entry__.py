@@ -740,6 +740,18 @@ def _q_shard_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("n_urls"))
 
 
+def _q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/val/test split
+    (operators/sampling.py::hash_split) — reproducible across runs,
+    partitionings, and engines; oracle recomputes the xxh64 buckets."""
+    from datax_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = hash_split(docs, ["text"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_rows"), F.sum("n_chars").alias("sum_chars"))
+
+
 def _q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV k-minimum-values distinct estimate over document texts
     (operators/sketches.py) — a deterministic, oracle-auditable
@@ -807,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_event_windows": _q_range_join_event_windows,
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
+        "doc_hash_split": _q_doc_hash_split,
     }
 
 
@@ -1293,6 +1306,11 @@ def _pyref_oracles() -> dict[str, str]:
             FROM read_parquet('{_shard_tail_fixture()}/shard=*/f*.parquet')
             GROUP BY op
         """,
+        "doc_hash_split": pyref.values_sql(
+            pyref.hash_split_rows(sf_dir, "documents", "text",
+                                  [("train", 0.8), ("val", 0.1), ("test", 0.1)]),
+            [("split", "VARCHAR"), ("n_rows", "BIGINT"), ("sum_chars", "BIGINT")],
+        ),
         "sketch_kmv_distinct": pyref.values_sql(
             pyref.kmv_rows(sf_dir, "documents", "text", 128),
             [("k", "INTEGER"), ("n_kept", "INTEGER"),

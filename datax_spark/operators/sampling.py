@@ -1,0 +1,62 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need train/val/test assignment that is (a)
+reproducible across runs and engines, (b) stable under repartitioning
+and insertion order, and (c) content-keyed so the same document never
+leaks across splits when the corpus is rebuilt. ``df.randomSplit`` is
+none of these (seed + partition layout dependent). The standard answer
+is a hash split: bucket = xxhash64(key columns, salt) mod R, split by
+cumulative fraction boundaries — pure JVM expressions, auditable by the
+pure-python xxh64 oracle.
+
+Salting: a different ``salt`` gives an independent assignment (e.g. for
+cross-validation folds); the same salt is a contract — document it with
+the dataset.
+
+Scale: a codegen projection, no shuffle, no state. Skew-free by
+construction (xxhash64 is uniform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+RESOLUTION = 1_000_000
+
+
+def _bucket(cols: list[str], salt: int) -> Column:
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(salt)), F.lit(RESOLUTION))
+
+
+def hash_split(
+    df: DataFrame,
+    cols: list[str],
+    fractions: dict[str, float],
+    salt: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Add ``split_col`` assigning each row to a named split by the hash
+    of ``cols``. Fractions must sum to 1 (±1e-9); the last split absorbs
+    boundary rounding."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    names = list(fractions)
+    b = _bucket(cols, salt)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = int(round(cum * RESOLUTION))
+        expr = F.when(b < bound, name) if expr is None else expr.when(b < bound, name)
+    return df.withColumn(split_col, expr.otherwise(names[-1]))
+
+
+def sample_by_hash(df: DataFrame, cols: list[str], fraction: float, salt: int = 42) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose hash bucket falls
+    below ``fraction`` — same rows every run, any partitioning."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_bucket(cols, salt) < int(round(fraction * RESOLUTION)))

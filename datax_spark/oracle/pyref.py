@@ -376,6 +376,35 @@ def media_frames_rows(n: int = 120, every_ms: int = 1000) -> list[tuple]:
     return out
 
 
+# ------------------------------------------------------- hash split/sample
+
+def hash_split_rows(sf_dir: str, table: str, col: str,
+                    fractions: list[tuple[str, float]], salt: int = 42,
+                    resolution: int = 1_000_000) -> list[tuple]:
+    """(split, n_rows, sum_chars) — independent recompute of
+    operators/sampling.py::hash_split over ``documents``: bucket =
+    pmod(xxhash64(col, int(salt)), resolution), cumulative-fraction
+    boundaries, last split absorbs the remainder."""
+    pdf = _load_pandas(sf_dir, table)
+    bounds = []
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        bounds.append((name, int(round(cum * resolution))))
+    agg: dict[str, list[int]] = {}
+    for text, n_chars in zip(pdf[col], pdf["n_chars"]):
+        b = spark_xxhash64(("str", text), ("int", salt)) % resolution
+        name = fractions[-1][0]
+        for nm, bound in bounds:
+            if b < bound:
+                name = nm
+                break
+        a = agg.setdefault(name, [0, 0])
+        a[0] += 1
+        a[1] += int(n_chars)
+    return [(name, a[0], a[1]) for name, a in sorted(agg.items())]
+
+
 # ------------------------------------------------------------- KMV sketch
 
 def kmv_rows(sf_dir: str, table: str, col: str, k: int,
