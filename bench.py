@@ -44,6 +44,11 @@ QUERY_NAMES = [
     "dedup_minhash_lsh",
     "doc_token_stats",
     "ann_cosine_topk",
+    # round-3 session additions
+    "asof_enrich_events",
+    "range_join_event_windows",
+    "doc_hash_split",
+    "sketch_kmv_distinct",
 ]
 
 
