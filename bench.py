@@ -113,10 +113,15 @@ def _replay(spark, input_path: str, table_root: str, n_events: int,
     wt = LakeTable.create(spark, f"{table_root}_warm", schema, key_col="url",
                           num_buckets=NUM_BUCKETS)
     apply_changes(wt, ch, batch_id=0, transform=with_enrichment, merge_mode=merge_mode)
+    shutil.rmtree(f"{table_root}_warm", ignore_errors=True)
 
     # two timed repetitions into fresh tables; report the min (the box
     # is virtualized and noisy — min-of-repeats is the standard estimator
-    # for the machine's actual capability)
+    # for the machine's actual capability). Throwaway tables are deleted
+    # between reps: the workspace is tmpfs, and letting ~9 GB tables
+    # accumulate puts the LAST measurements under memory pressure (the
+    # round-3 first full run recorded a 61 s MoR replay purely because it
+    # ran after ~50 GB of dead tables had piled up in RAM).
     per = n_events // N_BATCHES
     times = []
     for rep in range(2):
@@ -129,6 +134,7 @@ def _replay(spark, input_path: str, table_root: str, n_events: int,
             apply_changes(t, batch, batch_id=b, transform=with_enrichment,
                           merge_mode=merge_mode)
         times.append(time.time() - t0)
+        shutil.rmtree(f"{table_root}_r{rep}", ignore_errors=True)
     return min(times)
 
 
@@ -219,6 +225,7 @@ def _trickle(spark, base: str) -> dict:
                           transform=with_enrichment, merge_mode=mode)
             times.append(time.time() - t0)
         out[f"trickle_{mode}_median_sec"] = round(sorted(times)[len(times) // 2], 2)
+        shutil.rmtree(root, ignore_errors=True)  # tmpfs hygiene (see _replay)
     trickle.unpersist()
     return out
 
