@@ -433,7 +433,8 @@ class LakeTable:
 
     # --------------------------------------------------------------- write
     def write_data_files(
-        self, df: DataFrame, schema, kind: str = "base", prepartitioned: bool = False
+        self, df: DataFrame, schema, kind: str = "base", prepartitioned: bool = False,
+        num_buckets: int | None = None,
     ) -> list[dict]:
         """Write a dataframe as bucket-partitioned data files; return manifest
         entries. ``schema`` is the TableSchema the files are written under
@@ -463,7 +464,10 @@ class LakeTable:
             out = df.select(*(ts.field_names() + [BUCKET_COL]))
         else:
             out = (
-                df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.num_buckets))
+                df.withColumn(
+                    BUCKET_COL,
+                    bucket_expr(self.key_col, num_buckets or self.num_buckets),
+                )
                 .repartition(F.col(BUCKET_COL))
                 .select(*(ts.field_names() + [BUCKET_COL]))
             )
@@ -499,6 +503,7 @@ class LakeTable:
         new_schema: TableSchema | None = None,
         fence_epoch: str | None = None,
         properties_update: dict | None = None,
+        num_buckets_update: int | None = None,
     ) -> dict:
         """Atomically commit a snapshot.
 
@@ -534,6 +539,10 @@ class LakeTable:
             "total_files": len(manifest),
             "total_rows": total,
             "live_rows": live,
+            # the bucket layout this snapshot's manifest bucket ids refer
+            # to — time-travel bucket pruning across a rebucket boundary
+            # must use THIS value, not the table's current one
+            "num_buckets": num_buckets_update or m["num_buckets"],
         }
         if batch_id is not None:
             summary["batch_id"] = batch_id
@@ -550,6 +559,8 @@ class LakeTable:
         new_meta = dict(m)
         new_meta["snapshots"] = m["snapshots"] + [snap]
         new_meta["current_snapshot_id"] = snap_id
+        if num_buckets_update is not None:
+            new_meta["num_buckets"] = int(num_buckets_update)
         if properties_update:
             props = dict(m["properties"])
             for k, v in properties_update.items():
@@ -659,6 +670,47 @@ class LakeTable:
         df = self.read(buckets=sorted(victims), include_deleted=True, include_system=True)
         entries = self.write_data_files(df, self.schema())
         return self.commit(entries, replaced_buckets=victims, operation="compact")
+
+    def rebucket(self, new_num_buckets: int) -> dict | None:
+        """Change the table's bucket count — the partition-evolution
+        operation a growing table needs (a layout sized for 1 TB is 100
+        tiny buckets at 100 TB; Iceberg's analog is rewriting data under
+        a new partition spec).
+
+        One full-table rewrite: read current live state (MoR deltas and
+        tombstone files fold in — a rebucket is also a full compaction),
+        hash every row into the new layout, commit atomically with the
+        new ``num_buckets`` installed in the same snapshot. Readers see
+        either the old layout or the new one, never a mix; concurrent
+        writers hit the optimistic-concurrency check and retry against
+        the new layout.
+
+        Time travel: manifest ``bucket`` ids are only meaningful under
+        the layout in force when their snapshot committed — each snapshot
+        summary records its ``num_buckets``; use it when bucket-pruning a
+        time-travel read across a rebucket boundary.
+
+        Scale note: this is a deliberate full shuffle + rewrite of the
+        table (the same cost Iceberg/Delta pay to change a partition
+        spec) — schedule it like any table-maintenance window. Incremental
+        variants (split one bucket at a time, 2× doublings reusing
+        ``pmod`` nesting) compose from this primitive when a single
+        window can't absorb the rewrite."""
+        if new_num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {new_num_buckets}")
+        if new_num_buckets == self.num_buckets:
+            return None
+        old_nb = self.num_buckets
+        df = self.read(include_deleted=True, include_system=True)
+        entries = self.write_data_files(df, self.schema(), num_buckets=new_num_buckets)
+        old_buckets = {e["bucket"] for e in self.manifest()}
+        return self.commit(
+            entries,
+            replaced_buckets=old_buckets,
+            operation="rebucket",
+            summary_extra={"previous_num_buckets": old_nb},
+            num_buckets_update=new_num_buckets,
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` snapshots from metadata
