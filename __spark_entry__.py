@@ -285,6 +285,42 @@ def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 adaptation: the pure scan-side query — every predicate
+    and the aggregate must reach the parquet reader (pushdown + a single
+    partial/final agg, no join, no wide shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * F.col("l_discount").cast("decimal(18,2)")).cast("decimal(28,6)")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                  & (F.col("l_discount").cast("decimal(18,2)").between(
+                      F.lit("0.05").cast("decimal(18,2)"), F.lit("0.07").cast("decimal(18,2)")))
+                  & (F.col("l_quantity") < 24))
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+def _q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adaptation: promo revenue share — conditional aggregate
+    over a fact⋈broadcast-dim join, one month of shipments."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,6)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(28,6)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter((F.col("l_shipdate") >= F.lit("1996-03-01"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01")))
+        .agg((F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"))
+             .alias("promo_pct"),
+             F.sum(rev).cast("double").alias("total_revenue"))
+    )
+
+
 def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 adaptation: top-20 customers by revenue lost to
     returned items in one quarter."""
@@ -783,6 +819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping": _q3_shipping,
         "q5_local_supplier": _q5_local_supplier,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q14_promo_revenue": _q14_promo_revenue,
         "q10_returned_items": _q10_returned_items,
         "q18_large_orders": _q18_large_orders,
         "window_customer_rank": _q_window_customer_rank,
@@ -957,6 +995,28 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name ASC
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST('0.05' AS DECIMAL(18,2)) AND CAST('0.07' AS DECIMAL(18,2))
+              AND l_quantity < 24
+        """,
+        "q14_promo_revenue": """
+            WITH j AS (
+              SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)) AS rev,
+                     p_type
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            )
+            SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                     / CAST(sum(rev) AS DOUBLE) AS promo_pct,
+                   CAST(sum(rev) AS DOUBLE) AS total_revenue
+            FROM j
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name,

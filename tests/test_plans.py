@@ -121,3 +121,27 @@ def test_cow_union_merge_single_exchange_for_target_and_write(spark, tmp_path):
     assert "hashpartitioning(_bucket" in plan
     # and the write path adds no shuffle on top (prepartitioned write is
     # a plain select of this plan)
+
+
+def test_q6_scan_side_query_pushes_everything_down(spark):
+    """Q6 is the pure scan query: date + quantity predicates reach the
+    parquet reader, no join, single partial/final aggregate."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["q6_forecast_revenue"](spark, "/root/testdata/sf0.001")
+    plan = _plan(q)
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    assert "Join" not in plan
+    # ReadSchema pruned to the four referenced columns
+    rs = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in rs and "l_returnflag" not in rs
+
+
+def test_q14_broadcasts_the_dim(spark):
+    import __spark_entry__ as entry
+
+    q = entry.queries()["q14_promo_revenue"](spark, "/root/testdata/sf0.001")
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
