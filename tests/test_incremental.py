@@ -1,0 +1,103 @@
+"""Incremental reads — the lake table as a CDC source
+(LakeTable.read_incremental)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.cdc.apply import apply_changes
+from datax_spark.cdc.generator import changes_df
+from datax_spark.lake.table import LakeTable
+from tests.test_merge import SCHEMA as _S
+
+
+@pytest.fixture()
+def table3(spark, tmp_path):
+    """Three batches applied in LSN order; returns (root, full change df,
+    snapshot ids after each batch)."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, _S, key_col="url", num_buckets=8)
+    ch = changes_df(spark, 6000, n_keys=700, partitions=4).cache()
+    snaps = []
+    for b, (lo, hi) in enumerate([(0, 2000), (2000, 4000), (4000, 6001)]):
+        t = LakeTable(spark, root).load()
+        apply_changes(t, ch.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi)), batch_id=b)
+        snaps.append(LakeTable(spark, root).load().current_snapshot()["snapshot_id"])
+    return root, ch, snaps
+
+
+def _expected_feed(spark, ch, lo_lsn):
+    """Keys whose FINAL winner (over the whole history) has lsn > lo_lsn,
+    with U/D op — what a consumer needs to converge."""
+    ch.createOrReplaceTempView("_inc_ch")
+    return spark.sql(f"""
+        SELECT url,
+               CASE WHEN fop = 'D' THEN 'D' ELSE 'U' END AS _op
+        FROM (SELECT url, max_by(op, struct(warc_ts, lsn)) fop,
+                     max_by(lsn, struct(warc_ts, lsn)) flsn
+              FROM _inc_ch GROUP BY url)
+        WHERE flsn > {lo_lsn}
+    """)
+
+
+def test_feed_matches_sql_oracle(spark, table3):
+    root, ch, snaps = table3
+    t = LakeTable(spark, root).load()
+    feed = t.read_incremental(snaps[0]).select("url", "_op")
+    expect = _expected_feed(spark, ch, 2000)
+    assert feed.exceptAll(expect).count() == 0
+    assert expect.exceptAll(feed).count() == 0
+
+
+def test_consumer_replay_converges(spark, table3):
+    """Replaying base-snapshot state + the feed reproduces the final
+    table exactly — the property a downstream consumer relies on."""
+    root, ch, snaps = table3
+    t = LakeTable(spark, root).load()
+    base = t.read(snapshot_id=snaps[0])
+    feed = t.read_incremental(snaps[0])
+    upserts = feed.filter(F.col("_op") == "U").drop("_op")
+    deletes = feed.filter(F.col("_op") == "D").select("url")
+    replayed = (base.join(feed.select("url"), "url", "left_anti")
+                .unionByName(upserts)
+                .join(deletes, "url", "left_anti"))
+    final = t.read()
+    assert replayed.exceptAll(final).count() == 0
+    assert final.exceptAll(replayed).count() == 0
+
+
+def test_bounded_window_and_empty_feed(spark, table3):
+    root, ch, snaps = table3
+    t = LakeTable(spark, root).load()
+    # window (s1, s1] is empty
+    assert t.read_incremental(snaps[1], snaps[1]).count() == 0
+    # (s0, s1] sees only batch-1 winners
+    w = t.read_incremental(snaps[0], snaps[1]).select("url", "_op")
+    expect = _expected_feed(spark, ch.filter("lsn <= 4000"), 2000)
+    assert w.exceptAll(expect).count() == 0
+    assert expect.exceptAll(w).count() == 0
+
+
+def test_compaction_does_not_pollute_feed(spark, table3):
+    """Compaction and rebucket rewrite old rows into NEW files; the LSN
+    watermark keeps them out of the feed."""
+    root, ch, snaps = table3
+    t = LakeTable(spark, root).load()
+    before = t.read_incremental(snaps[0]).select("url", "_op")
+    n_before = before.count()
+    t.compact_buckets(min_files_per_bucket=1)
+    t2 = LakeTable(spark, root).load()
+    after_compact = t2.read_incremental(snaps[0]).select("url", "_op")
+    assert after_compact.count() == n_before
+    assert after_compact.exceptAll(before).count() == 0
+    t2.rebucket(16)
+    after_rebucket = LakeTable(spark, root).load().read_incremental(snaps[0]).select("url", "_op")
+    assert after_rebucket.exceptAll(before).count() == 0
+    assert before.exceptAll(after_rebucket).count() == 0
+
+
+def test_deletes_carry_op_d(spark, table3):
+    root, ch, snaps = table3
+    feed = LakeTable(spark, root).load().read_incremental(snaps[0])
+    n_d = feed.filter(F.col("_op") == "D").count()
+    expect_d = _expected_feed(spark, ch, 2000).filter("_op = 'D'").count()
+    assert n_d == expect_d > 0
