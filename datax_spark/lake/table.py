@@ -434,7 +434,7 @@ class LakeTable:
     # --------------------------------------------------------------- write
     def write_data_files(
         self, df: DataFrame, schema, kind: str = "base", prepartitioned: bool = False,
-        num_buckets: int | None = None,
+        num_buckets: int | None = None, max_records_per_file: int | None = None,
     ) -> list[dict]:
         """Write a dataframe as bucket-partitioned data files; return manifest
         entries. ``schema`` is the TableSchema the files are written under
@@ -448,8 +448,11 @@ class LakeTable:
         ``repartition(BUCKET_COL)`` before ``partitionBy`` keeps each bucket's
         rows in one task → one file per bucket per write (no small-file
         explosion); dynamic partition write splits multi-bucket tasks
-        per-directory. At cluster scale the same pattern holds; add
-        ``maxRecordsPerFile`` if buckets outgrow a single file.
+        per-directory. At cluster scale the same pattern holds;
+        ``max_records_per_file`` (argument, or the table property of the
+        same name set at create/commit time) splits buckets that outgrow
+        a single file — the manifest already supports many files per
+        bucket, so readers/compaction are unaffected.
 
         ``prepartitioned=True``: the caller guarantees ``df`` already
         carries ``_bucket`` and is partitioned by it (e.g. the CoW
@@ -471,7 +474,14 @@ class LakeTable:
                 .repartition(F.col(BUCKET_COL))
                 .select(*(ts.field_names() + [BUCKET_COL]))
             )
-        out.write.partitionBy(BUCKET_COL).parquet(out_dir)
+        writer = out.write
+        if max_records_per_file is None:
+            # table-level default for buckets that outgrow one file
+            max_records_per_file = self._require_meta()["properties"].get(
+                "max_records_per_file")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.partitionBy(BUCKET_COL).parquet(out_dir)
         entries: list[dict] = []
         for bdir in sorted(glob.glob(os.path.join(out_dir, f"{BUCKET_COL}=*"))):
             bucket = int(os.path.basename(bdir).split("=", 1)[1])

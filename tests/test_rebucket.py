@@ -117,3 +117,30 @@ def test_snapshot_summaries_record_layout(seeded):
     # pre-rebucket snapshot says 8, rebucket snapshot says 32
     assert snaps[-2]["summary"]["num_buckets"] == 8
     assert snaps[-1]["summary"]["num_buckets"] == 32
+
+
+def test_max_records_per_file_splits_buckets(spark, tmp_path):
+    """Buckets that outgrow one file split on write; reads, LWW merges,
+    and compaction are unaffected (manifest is many-files-per-bucket)."""
+    root = str(tmp_path / "tsplit")
+    t = LakeTable.create(spark, root, _S, key_col="url", num_buckets=4)
+    ch = changes_df(spark, 3000, n_keys=500, partitions=4)
+    apply_changes(t, ch, batch_id=0)
+    t = LakeTable(spark, root).load()
+    before = t.read()
+    n = before.count()
+
+    # rewrite with a small per-file cap via compaction's write path
+    df = t.read(include_deleted=True, include_system=True)
+    entries = t.write_data_files(df, t.schema(), max_records_per_file=50)
+    snap = t.commit(entries, replaced_buckets={e["bucket"] for e in t.manifest()},
+                    operation="rewrite")
+    t2 = LakeTable(spark, root).load()
+    per_bucket: dict[int, int] = {}
+    for e in t2.manifest():
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert max(per_bucket.values()) > 1  # buckets actually split
+    assert all(e["records"] <= 50 for e in t2.manifest())
+    after = t2.read()
+    assert after.count() == n
+    assert after.exceptAll(before).count() == 0
