@@ -43,6 +43,7 @@ def apply_changes(
     transform=None,
     fence_epoch: str | None = None,
     merge_mode: str = "cow",
+    summary_extra: dict | None = None,
 ) -> dict:
     """Apply one change batch to the lake table. Idempotent per batch_id.
 
@@ -90,7 +91,7 @@ def apply_changes(
         batch_id=batch_id,
         new_schema=new_schema,
         post_dedup_transform=transform,
-        summary_extra={"schema_changes": changes_applied},
+        summary_extra={"schema_changes": changes_applied, **(summary_extra or {})},
         fence_epoch=fence_epoch,
         merge_mode=merge_mode,
     )

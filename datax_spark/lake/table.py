@@ -723,7 +723,8 @@ class LakeTable:
         )
 
     def read_incremental(
-        self, from_snapshot_id: int, to_snapshot_id: int | None = None
+        self, from_snapshot_id: int, to_snapshot_id: int | None = None,
+        include_system: bool = False,
     ) -> DataFrame:
         """The table as a CDC SOURCE: the net change feed between two
         snapshots (``from`` exclusive → ``to`` inclusive, default
@@ -771,10 +772,10 @@ class LakeTable:
         new_entries = [e for e in self.manifest(to) if e["path"] not in base_paths]
         cur = self.schema()
         cur_names = cur.field_names()
+        keep = [c for c in cur_names if include_system or c not in SYSTEM_COLS]
         if not new_entries:
             empty = self.spark.createDataFrame([], cur.spark_schema())
-            return empty.withColumn("_op", F.lit("U")).select(
-                *[c for c in cur_names if c not in SYSTEM_COLS], "_op")
+            return empty.withColumn("_op", F.lit("U")).select(*keep, "_op")
 
         by_sid: dict[int, list[str]] = {}
         for e in new_entries:
@@ -810,7 +811,7 @@ class LakeTable:
         )
         out = out.withColumn(
             "_op", F.when(F.col(DELETED_COL), F.lit("D")).otherwise(F.lit("U")))
-        return out.select(*[c for c in cur_names if c not in SYSTEM_COLS], "_op")
+        return out.select(*keep, "_op")
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` snapshots from metadata
