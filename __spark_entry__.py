@@ -776,6 +776,16 @@ def _q_shard_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("n_urls"))
 
 
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (functions/text.py::
+    repetition_signals): distinct-word ratio + top word/bigram dominance
+    — the templated-page filters of web-corpus curation."""
+    from datax_spark.functions.text import repetition_signals
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_signals(docs, "text", "doc_id")
+
+
 def _q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed train/val/test split
     (operators/sampling.py::hash_split) — reproducible across runs,
@@ -858,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
         "doc_hash_split": _q_doc_hash_split,
+        "doc_repetition": _q_doc_repetition,
     }
 
 
@@ -1365,6 +1376,30 @@ def _pyref_oracles() -> dict[str, str]:
                    count(DISTINCT url) AS n_urls
             FROM read_parquet('{_shard_tail_fixture()}/shard=*/f*.parquet')
             GROUP BY op
+        """,
+        "doc_repetition": """
+            WITH d AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, ws, len(ws) AS n_words,
+                     CASE WHEN len(ws) >= 2
+                          THEN list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])
+                          ELSE [] END AS bgs
+              FROM d WHERE len(ws) > 0
+            ),
+            wc AS (SELECT doc_id, unnest(ws) AS g FROM b),
+            wagg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                     FROM (SELECT doc_id, g, count(*) c FROM wc GROUP BY 1, 2) GROUP BY 1),
+            bc AS (SELECT doc_id, unnest(bgs) AS g FROM b),
+            bagg AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+                     FROM (SELECT doc_id, g, count(*) c FROM bc GROUP BY 1, 2) GROUP BY 1)
+            SELECT b.doc_id, CAST(b.n_words AS INTEGER) AS n_words,
+                   round(CAST(len(list_distinct(b.ws)) AS DOUBLE) / b.n_words, 6) AS distinct_ratio,
+                   round(CAST(wagg.mx AS DOUBLE) / wagg.tot, 6) AS top_word_ratio,
+                   round(CAST(bagg.mx AS DOUBLE) / bagg.tot, 6) AS top_bigram_ratio
+            FROM b JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
         """,
         "doc_hash_split": pyref.values_sql(
             pyref.hash_split_rows(sf_dir, "documents", "text",

@@ -116,3 +116,56 @@ def shingles(col, k: int = 3) -> Column:
     return F.when(n >= k,
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
     ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def repetition_signals(df, text_col: str, id_col: str):
+    """Gopher-style repetition quality signals per document — the
+    standard web-corpus filters for templated/spammy pages (Rae et al.
+    2021 §A1.1): distinct-word ratio, top-word dominance, top-bigram
+    dominance.
+
+    Plan: the array-level signals (n_words, distinct_ratio) are pure
+    codegen projections; the dominance signals explode words/bigrams and
+    aggregate twice — first keyed (doc, gram) with map-side partial
+    counts (hot grams inside one doc combine before the exchange), then
+    keyed doc. Shuffle rows carry only (id, gram hash-sized strings) —
+    never the document text.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = (
+        df.select(F.col(id_col), words.alias("_ws"))
+        .withColumn("n_words", F.size("_ws"))
+        .filter(F.col("n_words") > 0)
+        .withColumn(
+            "distinct_ratio",
+            F.round(F.size(F.array_distinct("_ws")).cast("double") / F.col("n_words"), 6),
+        )
+        .withColumn(
+            "_bgs",
+            F.when(
+                F.col("n_words") >= 2,
+                F.expr("transform(sequence(0, size(_ws) - 2), i -> concat(_ws[i], ' ', _ws[i+1]))"),
+            ).otherwise(F.array()),
+        )
+    )
+
+    def _dominance(arr_col: str, out_name: str):
+        ex = base.select(id_col, F.explode(arr_col).alias("_g"))
+        counts = ex.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+        return counts.groupBy(id_col).agg(
+            F.max("_c").alias(f"_mx_{out_name}"),
+            F.sum("_c").alias(f"_tot_{out_name}"),
+        )
+    top_w = _dominance("_ws", "w")
+    top_b = _dominance("_bgs", "b")
+    out = (
+        base.select(id_col, "n_words", "distinct_ratio")
+        .join(top_w, id_col)
+        .join(top_b, id_col, "left")  # single-word docs have no bigrams
+        .select(
+            F.col(id_col), F.col("n_words"), F.col("distinct_ratio"),
+            F.round(F.col("_mx_w").cast("double") / F.col("_tot_w"), 6).alias("top_word_ratio"),
+            F.round(F.col("_mx_b").cast("double") / F.col("_tot_b"), 6).alias("top_bigram_ratio"),
+        )
+    )
+    return out

@@ -85,3 +85,24 @@ def test_apply_chain_and_registry(spark, smoke):
 
     with pytest.raises(ValueError):
         register_transformer("dx_substr", lambda c: c)
+
+
+def test_repetition_signals_crafted(spark):
+    """Gopher repetition filters on crafted documents."""
+    from datax_spark.functions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),                  # one word dominates
+            (2, "a b c d"),                              # all distinct
+            (3, "x y x y x y"),                          # repeated bigram cycle
+            (4, "solo"),                                 # single word, no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs, "text", "doc_id").collect()}
+    assert rows[1].top_word_ratio == 1.0 and rows[1].distinct_ratio == 0.25
+    assert rows[2].top_word_ratio == 0.25 and rows[2].distinct_ratio == 1.0
+    # "x y" appears 3 of 5 bigrams
+    assert rows[3].top_bigram_ratio == 0.6
+    assert rows[4].n_words == 1 and rows[4].top_bigram_ratio is None
