@@ -478,6 +478,30 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+def _q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 8 subspaces × 16
+    codes = 8-byte codes for 64-dim vectors (32× compression); encode +
+    ADC scoring fuse into one corpus pass, exchange ≤ k·Q rows/batch."""
+    from datax_spark.operators.pq import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return pq_topk(emb, queries, k=10, m=8, n_codes=16)
+
+
+def _q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PQ recall@10 vs exact L2 — the acceptance metric ships
+    WITH the approximate operator."""
+    from datax_spark.operators.pq import pq_recall
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    r = pq_recall(emb, queries, k=10, m=8, n_codes=16)
+    return spark.createDataFrame([(5, float(r))], "n_queries int, recall double")
+
+
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (brute-force) cosine near-dup pairs — oracle-checkable; the
     LSH-bucketed variant is the scale path (rows-only)."""
@@ -845,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_pq_recall": _q_ann_pq_recall,
         "emb_near_dup": _q_emb_near_dup,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "stream_source_const": _q_stream_source,
@@ -1410,6 +1436,15 @@ def _pyref_oracles() -> dict[str, str]:
             pyref.kmv_rows(sf_dir, "documents", "text", 128),
             [("k", "INTEGER"), ("n_kept", "INTEGER"),
              ("kth_hash", "BIGINT"), ("est_distinct", "DOUBLE")],
+        ),
+        "ann_pq_topk": pyref.values_sql(
+            pyref.pq_topk_rows(sf_dir, k=10, m=8, n_codes=16),
+            [("qid", "BIGINT"), ("vec_id", "BIGINT"),
+             ("adc_dist", "DOUBLE"), ("rank", "INTEGER")],
+        ),
+        "ann_pq_recall": pyref.values_sql(
+            pyref.pq_recall_rows(sf_dir, k=10, m=8, n_codes=16),
+            [("n_queries", "INTEGER"), ("recall", "DOUBLE")],
         ),
         "ann_recall": pyref.values_sql(
             pyref.ann_recall_rows(sf_dir, k=10, num_planes=6, num_tables=6),

@@ -337,6 +337,94 @@ def ivf_topk_rows(
     return out
 
 
+# ----------------------------------------------------------------- PQ ANN
+
+def _np_round(x: float, d: int) -> float:
+    """numpy.round semantics in pure python: scale by 10^d (float),
+    rint half-even on the SCALED float, unscale — differs from python's
+    round(), which rounds the decimal value correctly; the engine uses
+    np.round so the oracle replicates it bit-for-bit."""
+    s = x * float(10 ** d)
+    f = math.floor(s)
+    frac = s - f
+    if frac > 0.5 or (frac == 0.5 and f % 2 == 1):
+        f += 1
+    return f / float(10 ** d)
+
+
+def _pq_setup(sf_dir: str, m: int, n_codes: int):
+    emb = _load_pandas(sf_dir, "embeddings")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+    dim = len(next(iter(vecs.values())))
+    sub = dim // m
+    seeds = [vecs[vid] for vid in sorted(vecs)[:n_codes]]
+    books = [[s[j * sub:(j + 1) * sub] for s in seeds] for j in range(m)]
+
+    def subdist(a, b):
+        t = 0.0
+        for x, y in zip(a, b):
+            t += (x - y) * (x - y)
+        return t
+
+    def code_of(v):
+        out = []
+        for j in range(m):
+            vj = v[j * sub:(j + 1) * sub]
+            best, best_d = 0, None
+            for c, cb in enumerate(books[j]):
+                d = subdist(vj, cb)
+                if best_d is None or d < best_d:
+                    best, best_d = c, d
+            out.append(best)
+        return out
+
+    return vecs, sub, books, subdist, code_of
+
+
+def pq_topk_rows(sf_dir: str, k: int = 10, m: int = 8, n_codes: int = 16,
+                 n_queries: int = 5) -> list[tuple]:
+    """(qid, vec_id, adc_dist, rank) — seed-codebook PQ with asymmetric
+    distance (engine: operators/pq.py::pq_topk). Arithmetic mirrors the
+    engine's numpy order: serial subspace sums, sequential-j ADC
+    accumulation, np.round half-even-on-scaled at 4dp."""
+    vecs, sub, books, subdist, code_of = _pq_setup(sf_dir, m, n_codes)
+    codes = {vid: code_of(v) for vid, v in vecs.items()}
+    out = []
+    for qid in sorted(vid for vid in vecs if vid < n_queries):
+        q = vecs[qid]
+        lut = [[subdist(q[j * sub:(j + 1) * sub], cb) for cb in books[j]]
+               for j in range(len(books))]
+        scored = []
+        for vid, cs in codes.items():
+            d = 0.0
+            for j, c in enumerate(cs):
+                d += lut[j][c]
+            scored.append((_np_round(d, 4), vid))
+        scored.sort()
+        for rank, (d, vid) in enumerate(scored[:k], start=1):
+            out.append((qid, vid, d, rank))
+    return out
+
+
+def pq_recall_rows(sf_dir: str, k: int = 10, m: int = 8, n_codes: int = 16,
+                   n_queries: int = 5) -> list[tuple]:
+    """(n_queries, recall) — ADC recall@k vs exact L2
+    (engine: operators/pq.py::pq_recall)."""
+    vecs, sub, books, subdist, code_of = _pq_setup(sf_dir, m, n_codes)
+    topk_rows = pq_topk_rows(sf_dir, k=k, m=m, n_codes=n_codes, n_queries=n_queries)
+    approx: dict[int, set] = {}
+    for qid, vid, _d, _r in topk_rows:
+        approx.setdefault(qid, set()).add(vid)
+    hits = tot = 0
+    for qid in sorted(vid for vid in vecs if vid < n_queries):
+        q = vecs[qid]
+        exact = sorted((subdist(v, q), vid) for vid, v in vecs.items())[:k]
+        exact_ids = {vid for _d, vid in exact}
+        hits += len(exact_ids & approx.get(qid, set()))
+        tot += len(exact_ids)
+    return [(n_queries, hits / tot if tot else 0.0)]
+
+
 # --------------------------------------------------------- media features
 
 def media_features_rows(n: int = 200) -> list[tuple]:
