@@ -800,6 +800,20 @@ def _q_shard_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("n_urls"))
 
 
+def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (corpus rebalancing:
+    heavy languages downsampled, rare ones kept) —
+    operators/sampling.py::sample_stratified."""
+    from datax_spark.operators.sampling import sample_stratified
+
+    docs = load(spark, sf_dir, "documents")
+    out = sample_stratified(
+        docs, ["text"], "lang",
+        fractions={"en": 0.3, "de": 0.8}, default_fraction=1.0)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_rows"), F.sum("doc_id").alias("sum_ids"))
+
+
 def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (functions/text.py::
     repetition_signals): distinct-word ratio + top word/bigram dominance
@@ -895,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_tail_read": _q_shard_tail_read,
         "doc_hash_split": _q_doc_hash_split,
         "doc_repetition": _q_doc_repetition,
+        "doc_stratified_sample": _q_doc_stratified_sample,
     }
 
 
@@ -1427,6 +1442,12 @@ def _pyref_oracles() -> dict[str, str]:
                    round(CAST(bagg.mx AS DOUBLE) / bagg.tot, 6) AS top_bigram_ratio
             FROM b JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
         """,
+        "doc_stratified_sample": pyref.values_sql(
+            pyref.stratified_sample_rows(
+                sf_dir, "documents", "text", "lang",
+                {"en": 0.3, "de": 0.8}, default_fraction=1.0),
+            [("lang", "VARCHAR"), ("n_rows", "BIGINT"), ("sum_ids", "BIGINT")],
+        ),
         "doc_hash_split": pyref.values_sql(
             pyref.hash_split_rows(sf_dir, "documents", "text",
                                   [("train", 0.8), ("val", 0.1), ("test", 0.1)]),

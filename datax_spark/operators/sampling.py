@@ -60,3 +60,30 @@ def sample_by_hash(df: DataFrame, cols: list[str], fraction: float, salt: int = 
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(_bucket(cols, salt) < int(round(fraction * RESOLUTION)))
+
+
+def sample_stratified(
+    df: DataFrame,
+    cols: list[str],
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (``df.sampleBy`` without the
+    seed/partition nondeterminism): each stratum keeps its own fraction
+    of rows, selected by content hash — the standard tool for rebalancing
+    a corpus (e.g. downsample English, keep all low-resource languages).
+    Strata absent from ``fractions`` keep ``default_fraction``. Still a
+    zero-shuffle codegen projection; sampled sets nest across fractions
+    per stratum (same salt)."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1], got {f}")
+    pairs = [x for s, f in sorted(fractions.items())
+             for x in (F.lit(s), F.lit(int(round(f * RESOLUTION))))]
+    bound = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(stratum_col)),
+        F.lit(int(round(default_fraction * RESOLUTION))),
+    )
+    return df.filter(_bucket(cols, salt) < bound)

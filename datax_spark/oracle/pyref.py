@@ -493,6 +493,22 @@ def hash_split_rows(sf_dir: str, table: str, col: str,
     return [(name, a[0], a[1]) for name, a in sorted(agg.items())]
 
 
+def stratified_sample_rows(sf_dir: str, table: str, col: str, stratum_col: str,
+                           fractions: dict[str, float], default_fraction: float = 0.0,
+                           salt: int = 42, resolution: int = 1_000_000) -> list[tuple]:
+    """(stratum, n_rows, sum_ids) — recompute of
+    operators/sampling.py::sample_stratified over ``documents``."""
+    pdf = _load_pandas(sf_dir, table)
+    agg: dict[str, list[int]] = {}
+    for text, stratum, doc_id in zip(pdf[col], pdf[stratum_col], pdf["doc_id"]):
+        bound = int(round(fractions.get(stratum, default_fraction) * resolution))
+        if spark_xxhash64(("str", text), ("int", salt)) % resolution < bound:
+            a = agg.setdefault(stratum, [0, 0])
+            a[0] += 1
+            a[1] += int(doc_id)
+    return [(s, a[0], a[1]) for s, a in sorted(agg.items())]
+
+
 # ------------------------------------------------------------- KMV sketch
 
 def kmv_rows(sf_dir: str, table: str, col: str, k: int,

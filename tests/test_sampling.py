@@ -60,3 +60,24 @@ def test_no_shuffle_plan(spark, docs):
     plan = (hash_split(docs, ["text"], {"train": 0.8, "test": 0.2})
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_stratified_fractions_and_nesting(spark):
+    from datax_spark.operators.sampling import sample_stratified
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 6_000).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("text"),
+        F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("lang"))
+    out = sample_stratified(df, ["text"], "lang",
+                            {"en": 0.2, "de": 0.9}, default_fraction=1.0)
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["fr"] == 2_000                    # default keeps all
+    assert 0.15 * 2000 < counts["en"] < 0.25 * 2000
+    assert 0.85 * 2000 < counts["de"] <= 2000
+    # nesting: en@0.1 sample is a subset of en@0.2 (same salt)
+    small = sample_stratified(df, ["text"], "lang", {"en": 0.1}, default_fraction=0.0)
+    big = sample_stratified(df, ["text"], "lang", {"en": 0.2}, default_fraction=0.0)
+    assert small.exceptAll(big).count() == 0
