@@ -800,6 +800,19 @@ def _q_shard_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("n_urls"))
 
 
+def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): flag
+    corpus documents sharing any 4-gram with a pseudo-benchmark set
+    (doc_id % 101 == 0); reference grams broadcast, corpus never
+    shuffles its text."""
+    from datax_spark.operators.decontaminate import flag_ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    reference = docs.filter(F.col("doc_id") % 101 == 0)
+    corpus = docs.filter(F.col("doc_id") % 101 != 0)
+    return flag_ngram_contamination(corpus, reference, n=4)
+
+
 def _q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic downsampling (corpus rebalancing:
     heavy languages downsampled, rare ones kept) —
@@ -910,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash_split": _q_doc_hash_split,
         "doc_repetition": _q_doc_repetition,
         "doc_stratified_sample": _q_doc_stratified_sample,
+        "doc_decontaminate": _q_doc_decontaminate,
     }
 
 
@@ -1441,6 +1455,27 @@ def _pyref_oracles() -> dict[str, str]:
                    round(CAST(wagg.mx AS DOUBLE) / wagg.tot, 6) AS top_word_ratio,
                    round(CAST(bagg.mx AS DOUBLE) / bagg.tot, 6) AS top_bigram_ratio
             FROM b JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
+        """,
+        "doc_decontaminate": r"""
+            WITH words AS (
+              SELECT doc_id, string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+') AS w
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id, array_to_string(w[i:i+3], ' ') AS s
+                FROM words, LATERAL unnest(generate_series(1, len(w) - 3)) AS t(i)
+                WHERE len(w) >= 4
+                UNION ALL
+                SELECT doc_id, array_to_string(w, ' ') AS s FROM words WHERE len(w) < 4
+              )
+            ),
+            ref AS (SELECT DISTINCT s FROM sh WHERE doc_id % 101 = 0)
+            SELECT doc_id, count(DISTINCT s) AS n_matched_grams,
+                   min(s) AS example_gram
+            FROM sh JOIN ref USING (s)
+            WHERE doc_id % 101 <> 0
+            GROUP BY doc_id
         """,
         "doc_stratified_sample": pyref.values_sql(
             pyref.stratified_sample_rows(
