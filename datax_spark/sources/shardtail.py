@@ -35,6 +35,15 @@ Scale notes: the directory scan reads only parquet FOOTER row counts
 slicing happens executor-side per shard. At 10^4+ files per shard the
 footer scan should be replaced by a manifest — the offset/partition
 contract stays identical.
+
+Throughput positioning (measured, 800k-event bulk replay at local[32],
+identical final table): file source 6.1-7.9 s vs shard_tail 16.4 s warm
+— the python-worker Arrow read + IPC hop costs ~2-2.5× vs the JVM's
+vectorized parquet scan. Use shard_tail when you need its SEMANTICS
+(per-shard cursors in the WAL, shard-ordered delivery, late shards
+joining, per-trigger row budgets — the loghub/OTS contract); use the
+flat file source for bulk backfills where throughput dominates. Both
+run through the same merge path and converge identically.
 """
 
 from __future__ import annotations
@@ -89,7 +98,12 @@ def _scan_shards(path: str) -> dict[str, list]:
 
 
 def _read_slice(part: ShardSlice):
-    """Yield Arrow RecordBatches for rows [start, end) of the shard."""
+    """Yield Arrow RecordBatches for rows [start, end) of the shard.
+
+    Timestamp columns are down-cast ns→µs: Spark-written parquet uses
+    INT96 timestamps, which pyarrow surfaces as ``timestamp[ns]``, and
+    Spark's Python-source Arrow ingestion rejects nanosecond precision."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     for fpath, cum, n in part.files:
@@ -97,6 +111,10 @@ def _read_slice(part: ShardSlice):
         if lo >= hi:
             continue
         table = pq.read_table(fpath).slice(lo, hi - lo)
+        for i, f in enumerate(table.schema):
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+                table = table.set_column(
+                    i, f.name, table.column(i).cast(pa.timestamp("us", f.type.tz)))
         yield from table.to_batches()
 
 

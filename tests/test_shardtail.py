@@ -144,6 +144,30 @@ def test_cdc_pipeline_through_shard_tail(spark, tmp_path):
         assert expected.exceptAll(got).count() == 0
 
 
+def test_spark_written_int96_timestamps(spark, tmp_path):
+    """Spark writes parquet timestamps as INT96, which pyarrow reads as
+    timestamp[ns]; the source must down-cast to µs or Spark's Arrow
+    ingestion rejects the batch (regression: UNSUPPORTED_ARROWTYPE)."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.cdc.generator import changes_df
+
+    base = str(tmp_path)
+    ch = changes_df(spark, 500, n_keys=100, partitions=2)
+    for s in range(2):
+        stg = f"{base}/stg{s}"
+        ch.filter(F.col("lsn") % 2 == s).coalesce(1).write.parquet(stg)
+        d = os.path.join(base, "tail", f"shard={s}")
+        os.makedirs(d, exist_ok=True)
+        import glob as g
+        os.rename(g.glob(f"{stg}/part-*.parquet")[0], os.path.join(d, "f000.parquet"))
+    register_shard_tail(spark)
+    got = spark.read.format("shard_tail").option("path", f"{base}/tail").load()
+    assert got.count() == 500
+    assert dict(got.dtypes)["warc_ts"].startswith("timestamp")
+    assert got.select(F.min("warc_ts")).first()[0] is not None
+
+
 def test_late_files_picked_up(spark, shard_root, tmp_path):
     root, total = shard_root
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
