@@ -800,6 +800,16 @@ def _q_shard_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("n_urls"))
 
 
+def _q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self unigram LM score (functions/text.py::unigram_logprob)
+    — mean log-prob per doc under the corpus' Laplace-smoothed unigram
+    distribution; decimal term-sums keep it partition-order-exact."""
+    from datax_spark.functions.text import unigram_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id")
+
+
 def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontaminate.py): flag
     corpus documents sharing any 4-gram with a pseudo-benchmark set
@@ -924,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
     }
 
 
@@ -1455,6 +1466,20 @@ def _pyref_oracles() -> dict[str, str]:
                    round(CAST(wagg.mx AS DOUBLE) / wagg.tot, 6) AS top_word_ratio,
                    round(CAST(bagg.mx AS DOUBLE) / bagg.tot, 6) AS top_bigram_ratio
             FROM b JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
+        """,
+        "doc_unigram_logprob": """
+            WITH w AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS _w
+              FROM documents
+            ),
+            vocab AS (SELECT _w, count(*) AS c FROM w GROUP BY 1),
+            tot AS (SELECT sum(c) + count(*) AS denom FROM vocab),
+            lp AS (SELECT _w, CAST(ln((c + 1) / (SELECT CAST(denom AS DOUBLE) FROM tot)) AS DECIMAL(20,12)) AS _lp
+                   FROM vocab)
+            SELECT doc_id, count(*) AS n_words,
+                   round(CAST(sum(_lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+            FROM w JOIN lp USING (_w)
+            GROUP BY doc_id
         """,
         "doc_decontaminate": r"""
             WITH words AS (

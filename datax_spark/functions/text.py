@@ -169,3 +169,36 @@ def repetition_signals(df, text_col: str, id_col: str):
         )
     )
     return out
+
+
+def unigram_logprob(df, text_col: str, id_col: str):
+    """Corpus-level unigram language-model score per document: mean
+    natural-log probability of the document's words under the corpus'
+    own Laplace-smoothed unigram distribution — the classic cheap
+    outlier/quality signal (gibberish and boilerplate score low against
+    the corpus it sits in; CCNet uses the same idea with a trained LM).
+
+    Two aggregates: a corpus-wide word-count (one shuffle keyed by word,
+    map-side combine), then a per-doc aggregate over the word→logprob
+    join. The per-term logprobs are cast to DECIMAL(20,12) before the
+    per-doc sum so the total is exact and PARTITION-ORDER-INDEPENDENT
+    (float sums reorder under repartitioning; decimal sums don't) — the
+    same discipline as corpus_curation's decimal averages. The corpus
+    totals (token count, vocabulary size) are one driver action over an
+    already-aggregated single row.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: w != "")).alias("_w"),
+    )
+    vocab = words.groupBy("_w").agg(F.count("*").alias("_c"))
+    totals = vocab.agg(F.sum("_c").alias("tot"), F.count("*").alias("v")).first()
+    denom = float(totals["tot"] + totals["v"])
+    scored_vocab = vocab.withColumn(
+        "_lp", F.log((F.col("_c") + 1) / F.lit(denom)).cast("decimal(20,12)"))
+    return (
+        words.join(scored_vocab.select("_w", "_lp"), "_w")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_words"),
+             F.round((F.sum("_lp").cast("double") / F.count("*")), 6).alias("avg_logprob"))
+    )

@@ -106,3 +106,20 @@ def test_repetition_signals_crafted(spark):
     # "x y" appears 3 of 5 bigrams
     assert rows[3].top_bigram_ratio == 0.6
     assert rows[4].n_words == 1 and rows[4].top_bigram_ratio is None
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """Docs made of rare words score lower than docs of common words;
+    repartitioning does not change a single score (decimal sums)."""
+    from datax_spark.functions.text import unigram_logprob
+    from pyspark.sql import functions as F
+
+    rows = [(i, "common words common words") for i in range(20)]
+    rows.append((100, "common words common words"))
+    rows.append((200, "zyzzyva qwyjibo xylotomous grimoire"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs, "text", "doc_id").collect()}
+    assert out[200] < out[100]  # rare-word doc is the outlier
+    out2 = {r.doc_id: r.avg_logprob
+            for r in unigram_logprob(docs.repartition(13), "text", "doc_id").collect()}
+    assert out == out2
