@@ -188,16 +188,31 @@ def run_stream(
         if source_format == "shard_tail" and max_rows_per_trigger is not None:
             # the rate-limited simple stream reader drains ONE trigger
             # budget per availableNow run (Spark bounds the run at the
-            # prefetched offset) — loop runs until a run applies nothing
+            # prefetched offset) — loop runs until a run applies nothing.
+            # awaitTermination can return with the query still active
+            # (timeout) — stop() before restarting, or the next start()
+            # throws "query with same id already active"; and a deadline
+            # exit with backlog remaining must raise, not silently return
+            # a partial replay.
             import time as _t
 
+            q.stop()  # the initial run may still be active on timeout
+            q.awaitTermination(30)
             deadline = _t.time() + (timeout_sec or 600)
-            while _t.time() < deadline:
+            while True:
                 before = seen["n"]
                 q = writer.start()
                 q.awaitTermination(timeout_sec)
+                q.stop()
+                q.awaitTermination(30)
                 if seen["n"] == before:
                     break
+                if _t.time() > deadline:
+                    raise TimeoutError(
+                        f"bounded shard_tail replay still had backlog after "
+                        f"{timeout_sec or 600}s of rate-limited drains "
+                        f"({seen['n']} batches applied) — raise timeout_sec "
+                        f"or max_rows_per_trigger")
         return q
     q = writer.start()
     if stop_after_batches is not None:

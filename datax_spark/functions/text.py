@@ -131,44 +131,35 @@ def repetition_signals(df, text_col: str, id_col: str):
     keyed doc. Shuffle rows carry only (id, gram hash-sized strings) —
     never the document text.
     """
+    # TWO corpus passes, one join: every word-level signal (n_words,
+    # distinct ratio, top-word dominance) derives from the single
+    # (doc, word)-count aggregate — sum(c) = n_words, count(*) = distinct
+    # words, max(c) = dominant count — so no separate array-level pass
+    # and no second join. Bigrams genuinely need their own explode.
     words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    base = (
-        df.select(F.col(id_col), words.alias("_ws"))
-        .withColumn("n_words", F.size("_ws"))
-        .filter(F.col("n_words") > 0)
-        .withColumn(
-            "distinct_ratio",
-            F.round(F.size(F.array_distinct("_ws")).cast("double") / F.col("n_words"), 6),
-        )
-        .withColumn(
-            "_bgs",
-            F.when(
-                F.col("n_words") >= 2,
-                F.expr("transform(sequence(0, size(_ws) - 2), i -> concat(_ws[i], ' ', _ws[i+1]))"),
-            ).otherwise(F.array()),
-        )
-    )
+    wc = (df.select(F.col(id_col), F.explode(words).alias("_g"))
+          .groupBy(id_col, "_g").agg(F.count("*").alias("_c")))
+    wstats = wc.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"), F.count("*").alias("_nd"), F.max("_c").alias("_mx"))
 
-    def _dominance(arr_col: str, out_name: str):
-        ex = base.select(id_col, F.explode(arr_col).alias("_g"))
-        counts = ex.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
-        return counts.groupBy(id_col).agg(
-            F.max("_c").alias(f"_mx_{out_name}"),
-            F.sum("_c").alias(f"_tot_{out_name}"),
-        )
-    top_w = _dominance("_ws", "w")
-    top_b = _dominance("_bgs", "b")
-    out = (
-        base.select(id_col, "n_words", "distinct_ratio")
-        .join(top_w, id_col)
-        .join(top_b, id_col, "left")  # single-word docs have no bigrams
+    bigrams = F.expr(
+        "filter(transform(sequence(0, greatest(size(_ws) - 2, 0)),"
+        "  i -> IF(i < size(_ws) - 1, concat(_ws[i], ' ', _ws[i+1]), NULL)), x -> x IS NOT NULL)")
+    bc = (df.select(F.col(id_col), words.alias("_ws"))
+          .select(id_col, F.explode(bigrams).alias("_g"))
+          .groupBy(id_col, "_g").agg(F.count("*").alias("_c")))
+    bstats = bc.groupBy(id_col).agg(F.max("_c").alias("_bmx"), F.sum("_c").alias("_btot"))
+
+    return (
+        wstats.join(bstats, id_col, "left")  # single-word docs have no bigrams
         .select(
-            F.col(id_col), F.col("n_words"), F.col("distinct_ratio"),
-            F.round(F.col("_mx_w").cast("double") / F.col("_tot_w"), 6).alias("top_word_ratio"),
-            F.round(F.col("_mx_b").cast("double") / F.col("_tot_b"), 6).alias("top_bigram_ratio"),
+            F.col(id_col),
+            F.col("_n").cast("int").alias("n_words"),
+            F.round(F.col("_nd").cast("double") / F.col("_n"), 6).alias("distinct_ratio"),
+            F.round(F.col("_mx").cast("double") / F.col("_n"), 6).alias("top_word_ratio"),
+            F.round(F.col("_bmx").cast("double") / F.col("_btot"), 6).alias("top_bigram_ratio"),
         )
     )
-    return out
 
 
 def unigram_logprob(df, text_col: str, id_col: str):

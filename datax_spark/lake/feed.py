@@ -39,6 +39,7 @@ def sync_incremental(
     transform=None,
     merge_mode: str = "cow",
     stream_id: str = "table_sync",
+    assume_monotone_lsn: bool = True,
 ) -> dict:
     """One sync tick. Returns the apply metrics dict (plus
     ``src_snapshot`` / ``skipped``). Re-running after any crash is safe:
@@ -59,7 +60,8 @@ def sync_incremental(
         feed = (src.read(include_system=True)
                 .withColumn("_op", F.lit("I")))
     else:
-        feed = src.read_incremental(base, src_sid, include_system=True)
+        feed = src.read_incremental(base, src_sid, include_system=True,
+                                    assume_monotone_lsn=assume_monotone_lsn)
 
     user_cols = [c for c in src.user_schema().fieldNames() if c != key]
     ch = feed.select(

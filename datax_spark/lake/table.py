@@ -724,7 +724,7 @@ class LakeTable:
 
     def read_incremental(
         self, from_snapshot_id: int, to_snapshot_id: int | None = None,
-        include_system: bool = False,
+        include_system: bool = False, assume_monotone_lsn: bool = True,
     ) -> DataFrame:
         """The table as a CDC SOURCE: the net change feed between two
         snapshots (``from`` exclusive → ``to`` inclusive, default
@@ -741,15 +741,25 @@ class LakeTable:
         several batches collapses to its LWW winner. Cost ∝ data written
         since ``from``, never table size.
 
-        Exactness contract: LSNs must be monotone in DELIVERY order (the
-        WAL/binlog position semantics this engine ingests — a late event
-        carries a higher LSN even when its payload timestamp is older).
-        Then a key whose effective state changed after ``from`` always
-        carries a winner LSN above the base watermark, and a key
-        rewritten with its old winning row (stale update lost LWW) is
-        correctly absent from the feed. Requires per-file LSN stats;
-        raises if a base file predates them (feed would be silently
-        wrong).
+        Exactness contract (``assume_monotone_lsn=True``, default): LSNs
+        must be GLOBALLY monotone in delivery order (single-WAL/binlog
+        position semantics — a late event carries a higher LSN even when
+        its payload timestamp is older). Then a key whose effective
+        state changed after ``from`` always carries a winner LSN above
+        the base watermark, and a key rewritten with its old winning row
+        (stale update lost LWW) is correctly absent from the feed.
+        Requires per-file LSN stats; raises if a base file predates them
+        (feed would be silently wrong).
+
+        Multi-shard streams with PER-SHARD LSN spaces (e.g. the
+        ``shard_tail`` source with independent shard counters) violate
+        global monotonicity — a shard lagging behind another's higher
+        LSNs would have its changes silently filtered. Pass
+        ``assume_monotone_lsn=False`` there: the LSN watermark is
+        skipped, so the feed is a SUPERSET (rows copied by CoW rewrites
+        of touched buckets reappear) — still convergent for any LWW
+        consumer (re-applied old rows lose to what the consumer already
+        holds), just more rows per tick.
         """
         m = self._require_meta()
 
@@ -764,11 +774,13 @@ class LakeTable:
         to = _snap(to_snapshot_id) if to_snapshot_id is not None else self.current_snapshot()
         base_entries = self.manifest(base)
         base_paths = {e["path"] for e in base_entries}
-        base_lsns = [e["lsn_max"] for e in base_entries]
-        if any(v is None for v in base_lsns):
-            raise ValueError("base snapshot has files without LSN stats — "
-                             "incremental feed cannot be made exact")
-        base_max_lsn = max(base_lsns) if base_lsns else None
+        base_max_lsn = None
+        if assume_monotone_lsn:
+            base_lsns = [e["lsn_max"] for e in base_entries]
+            if any(v is None for v in base_lsns):
+                raise ValueError("base snapshot has files without LSN stats — "
+                                 "incremental feed cannot be made exact")
+            base_max_lsn = max(base_lsns) if base_lsns else None
         new_entries = [e for e in self.manifest(to) if e["path"] not in base_paths]
         cur = self.schema()
         cur_names = cur.field_names()

@@ -62,6 +62,15 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload_cols = payload_cols or [c for c in right.columns if c not in (*on, right_ts)]
 
+    # NULL-timestamp semantics (match pandas merge_asof / DuckDB ASOF):
+    # right rows with a null ts can never be "nearest" — drop them before
+    # the union, else they'd sort first under asc and match as
+    # before-everything; left rows with a null ts match nothing — carry
+    # them around the window and re-attach with NULL payloads.
+    right = right.filter(F.col(right_ts).isNotNull())
+    null_left = left.filter(F.col(left_ts).isNull())
+    left = left.filter(F.col(left_ts).isNotNull())
+
     # Deduplicate concurrent right rows per (key, ts): exact same LWW
     # hash-aggregate shape as lake/merge.py (partial max before exchange).
     if right_tiebreak is not None:
@@ -106,4 +115,7 @@ def asof_join(
 
     out_left = [F.col(f"__asof_left.{c}").alias(c) for c in left.columns]
     out_right = [F.col(f"{_PAY}.{c}").alias(c) for c in payload_cols]
-    return matched.select(*out_left, *out_right)
+    out = matched.select(*out_left, *out_right)
+    unmatched = null_left.select(
+        "*", *[F.lit(None).cast(dict(out.dtypes)[c]).alias(c) for c in payload_cols])
+    return out.unionByName(unmatched)

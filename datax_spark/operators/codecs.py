@@ -139,10 +139,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     data = None
     while pos + 8 <= end:
         cid, clen = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + clen > end:
+            # silent truncation would decode fewer samples than declared —
+            # the quarantine contract requires a loud ValueError instead
+            raise ValueError(
+                f"WAV chunk {cid!r} truncated: declares {clen} bytes, "
+                f"{end - pos - 8} available")
         body = payload[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
-            if clen < 16:
-                raise ValueError(f"short fmt chunk ({clen} bytes)")
+            if clen < 16 or len(body) < 16:
+                raise ValueError(f"short fmt chunk ({min(clen, len(body))} bytes)")
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV format={audio_fmt} bits={bits} (PCM16 only)")

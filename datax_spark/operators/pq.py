@@ -36,19 +36,39 @@ def _as_matrix(pdf_col) -> np.ndarray:
     return np.stack(pdf_col.to_numpy()).astype("float64")
 
 
+def _collect_matrix(corpus: DataFrame, limit: int, id_col: str, vec_col: str,
+                    m: int) -> np.ndarray:
+    """Driver collect of the ``limit`` lowest-id vectors as a float64
+    matrix, validating that ``m`` divides the dimension."""
+    rows = (corpus.select(id_col, vec_col).orderBy(F.asc(id_col))
+            .limit(limit).collect())
+    mat = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
+    if len(mat) and mat.shape[1] % m:
+        raise ValueError(f"dim {mat.shape[1]} not divisible by m={m}")
+    return mat
+
+
+def _encode_batch(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) centroid indices: per-subspace L2 argmin (ties -> lowest
+    centroid index). The ONE implementation both the standalone encoder
+    and the fused ADC scorer use — their codes must never diverge."""
+    m, _n_codes, sub = books.shape
+    codes = np.empty((len(X), m), dtype="int64")
+    for j in range(m):
+        Xj = X[:, j * sub:(j + 1) * sub]
+        D = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = D.argmin(axis=1)
+    return codes
+
+
 def seed_codebooks(corpus: DataFrame, m: int, n_codes: int,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
     """(m, n_codes, dim/m) codebooks from the n_codes lowest-id vectors —
     deterministic, tiny driver collect (mirrors IVF's seed centroids)."""
-    rows = (corpus.select(id_col, vec_col).orderBy(F.asc(id_col))
-            .limit(n_codes).collect())
-    if len(rows) < n_codes:
-        raise ValueError(f"need >= {n_codes} corpus vectors for seeds, have {len(rows)}")
-    mat = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
-    dim = mat.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
+    mat = _collect_matrix(corpus, n_codes, id_col, vec_col, m)
+    if len(mat) < n_codes:
+        raise ValueError(f"need >= {n_codes} corpus vectors for seeds, have {len(mat)}")
+    sub = mat.shape[1] // m
     return np.stack([mat[:, j * sub:(j + 1) * sub] for j in range(m)])
 
 
@@ -62,13 +82,8 @@ def train_codebooks(
     trainer, so repeated runs and repartitionings give identical
     codebooks. Offline/periodic in production; encode cost is unchanged
     whichever codebooks are used."""
-    rows = (corpus.select(id_col, vec_col).orderBy(F.asc(id_col))
-            .limit(sample_size).collect())
-    mat = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
-    dim = mat.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
+    mat = _collect_matrix(corpus, sample_size, id_col, vec_col, m)
+    sub = mat.shape[1] // m
     books = []
     for j in range(m):
         X = mat[:, j * sub:(j + 1) * sub]
@@ -108,12 +123,7 @@ def encode(corpus: DataFrame, codebooks: np.ndarray,
         for pdf in it:
             if not len(pdf):
                 continue
-            X = _as_matrix(pdf[vec_col])
-            codes = np.empty((len(X), m), dtype="int32")
-            for j in range(m):
-                Xj = X[:, j * sub:(j + 1) * sub]
-                D = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = D.argmin(axis=1)
+            codes = _encode_batch(_as_matrix(pdf[vec_col]), books).astype("int32")
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                 "codes": list(codes)})
 
@@ -156,11 +166,7 @@ def pq_topk(
                 continue
             X = _as_matrix(pdf[vec_col])
             n = len(X)
-            codes = np.empty((n, m), dtype="int64")
-            for j in range(m):
-                Xj = X[:, j * sub:(j + 1) * sub]
-                D = ((Xj[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = D.argmin(axis=1)
+            codes = _encode_batch(X, books)
             ids = pdf[id_col].to_numpy()
             take = min(k, n)
             out_q, out_i, out_d = [], [], []

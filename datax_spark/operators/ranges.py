@@ -59,6 +59,11 @@ def interval_join_binned(
         raise ValueError(f"ambiguous columns in both sides: {sorted(overlap)}")
 
     s, e, p = F.col(start_col), F.col(end_col), F.col(point_col)
+    # NULL-bounded intervals can never contain a point — drop them like
+    # the bin equi-join drops NULL points, instead of letting the NULL
+    # reach assert_true (which aborts the job on a null condition with a
+    # misleading runaway-interval message)
+    intervals = intervals.filter(s.isNotNull() & e.isNotNull())
     lo_bin = F.floor(s / bin_width)
     hi_bin = F.floor(e / bin_width)
     # assert_true returns NULL (or raises), so the when() always takes the

@@ -42,7 +42,14 @@ def kmv_kth_hash(df: DataFrame, cols: list[str], k: int = 256,
     if k < 3:
         raise ValueError(f"k must be >= 3, got {k}")
     h = F.xxhash64(*[F.col(c) for c in cols]).alias("h")
-    out = df.select(h)
+    # NULLs are not values: xxhash64 SKIPS null inputs (returning the
+    # seed-derived hash), which would count "all-null" as one distinct
+    # value — drop all-null rows to match distinct-count semantics (and
+    # the pure-python oracle, which filters None).
+    any_set = F.col(cols[0]).isNotNull()
+    for c in cols[1:]:
+        any_set = any_set | F.col(c).isNotNull()
+    out = df.filter(any_set).select(h)
     if prefilter is not None:
         out = out.filter(F.col("h") <= F.lit(int(prefilter)))
     return out.distinct().orderBy("h").limit(k)

@@ -70,9 +70,12 @@ class ShardSlice(InputPartition):
     end: int
 
 
-def _scan_shards(path: str) -> dict[str, list]:
+def _scan_shards(path: str, require_shards: bool = False) -> dict[str, list]:
     """shard_id -> ordered [(file, cum_before, n_rows)] using footer
-    metadata only."""
+    metadata only. A missing PATH is always an error (config typo); an
+    empty path (producer not started yet) is an error only when
+    ``require_shards`` — streams must idle and pick up shards as they
+    appear (the module contract), batch reads fail loudly."""
     import os
 
     import pyarrow.parquet as pq
@@ -92,7 +95,7 @@ def _scan_shards(path: str) -> dict[str, list]:
             files.append((f.path, cum, n))
             cum += n
         shards[sid] = files
-    if not shards:
+    if not shards and require_shards:
         raise FileNotFoundError(f"no shard=* directories under {path}")
     return shards
 
@@ -120,7 +123,7 @@ def _read_slice(part: ShardSlice):
 
 class ShardTailBatchReader(DataSourceReader):
     def __init__(self, path: str):
-        self._shards = _scan_shards(path)
+        self._shards = _scan_shards(path, require_shards=True)
 
     def partitions(self):
         return [

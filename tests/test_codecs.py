@@ -147,3 +147,15 @@ def test_video_frames_spark_path(spark):
     expect = pyref.media_video_frame_rows(30)
     got = sorted((r.media_id, r.frame_idx, r.frame_luma, r.thumb_checksum) for r in rows)
     assert got == sorted(expect)
+
+
+def test_wav_truncated_data_chunk_raises():
+    """A data chunk declaring more bytes than present must raise, not
+    silently decode fewer samples (quarantine contract)."""
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 1000) + b"\x00" * 10)
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_wav(wav)

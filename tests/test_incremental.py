@@ -101,3 +101,36 @@ def test_deletes_carry_op_d(spark, table3):
     n_d = feed.filter(F.col("_op") == "D").count()
     expect_d = _expected_feed(spark, ch, 2000).filter("_op = 'D'").count()
     assert n_d == expect_d > 0
+
+
+def test_non_monotone_lsn_needs_relaxed_watermark(spark, tmp_path):
+    """Per-shard LSN spaces break the global-watermark exactness contract:
+    a change whose LSN is below the base watermark but whose ts wins LWW
+    is invisible to the strict feed; assume_monotone_lsn=False emits a
+    convergent superset that carries it."""
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, _S, key_col="url", num_buckets=4)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, lang string, "
+                  "op string, lsn long")
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    apply_changes(t, batch([("a", t1, None, "en", "I", 100),
+                            ("b", t1, None, "en", "I", 200)]), batch_id=0)
+    t = LakeTable(spark, root).load()
+    s0 = t.current_snapshot()["snapshot_id"]
+    # "shard 2" counter: lsn 5 < watermark 200, but newer ts → wins LWW
+    apply_changes(t, batch([("a", t2, None, "de", "U", 5)]), batch_id=1)
+    t = LakeTable(spark, root).load()
+    assert t.read().filter("url = 'a'").first().lang == "de"  # change applied
+
+    strict = t.read_incremental(s0)
+    assert strict.filter("url = 'a'").count() == 0  # the documented blind spot
+
+    relaxed = t.read_incremental(s0, assume_monotone_lsn=False)
+    row = relaxed.filter("url = 'a'").first()
+    assert row is not None and row.lang == "de" and row._op == "U"

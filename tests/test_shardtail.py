@@ -180,3 +180,15 @@ def test_late_files_picked_up(spark, shard_root, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == total + 5
     assert df.filter(F.col("url").startswith("http://s7.")).count() == 3
+
+
+def test_empty_tail_dir_streams_idle_but_batch_read_fails(spark, tmp_path):
+    """A tail root with no shards yet: streams idle (producer not
+    started — shards join later), batch reads fail loudly."""
+    from datax_spark.sources.shardtail import ShardTailBatchReader, _scan_shards
+
+    root = str(tmp_path / "empty")
+    os.makedirs(root)
+    assert _scan_shards(root) == {}  # stream offset scans tolerate empty
+    with pytest.raises(FileNotFoundError, match="no shard"):
+        ShardTailBatchReader(root)
