@@ -800,6 +800,40 @@ def _q_shard_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("n_urls"))
 
 
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization groups (functions/urls.py) over a
+    deterministic messy-URL fixture — scheme/host case, trailing
+    slashes, shuffled query params, fragments all collapse; oracle
+    recomputes with an independent pure-python canonicalizer."""
+    from datax_spark.functions.urls import canonicalize_url
+
+    rows = []
+    for i in range(200):
+        j = i // 2  # pair (2j, 2j+1): same logical URL, different mess
+        scheme = "HTTPS" if j % 5 == 0 else "http"
+        host = f"site{j % 7}.example.com"
+        if i % 3 == 0:
+            host = host.upper()
+        path = f"/a/b{j % 11}" + "/" * (i % 3)
+        params = []
+        if j % 9 != 0:
+            params = [f"x={j % 13}", f"y={j % 4}"]
+            if j % 4 == 0:
+                params.append(f"utm_source=t{j % 5}")
+            if i % 2 == 0:
+                params.reverse()
+        url = f"{scheme}://{host}{path}"
+        if params:
+            url += "?" + "&".join(params)
+        if i % 6 == 0:
+            url += "#frag"
+        rows.append((i, url))
+    df = spark.createDataFrame(rows, "url_id long, url string")
+    return (df.withColumn("canon", canonicalize_url(F.col("url")))
+            .groupBy("canon")
+            .agg(F.count("*").alias("n_urls"), F.min("url_id").alias("min_id")))
+
+
 def _q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self unigram LM score (functions/text.py::unigram_logprob)
     — mean log-prob per doc under the corpus' Laplace-smoothed unigram
@@ -935,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _q_doc_stratified_sample,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "url_canonicalize": _q_url_canonicalize,
     }
 
 
@@ -1467,6 +1502,10 @@ def _pyref_oracles() -> dict[str, str]:
                    round(CAST(bagg.mx AS DOUBLE) / bagg.tot, 6) AS top_bigram_ratio
             FROM b JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
         """,
+        "url_canonicalize": pyref.values_sql(
+            pyref.url_canon_rows(200),
+            [("canon", "VARCHAR"), ("n_urls", "BIGINT"), ("min_id", "BIGINT")],
+        ),
         "doc_unigram_logprob": """
             WITH w AS (
               SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS _w

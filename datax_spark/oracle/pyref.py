@@ -337,6 +337,57 @@ def ivf_topk_rows(
     return out
 
 
+# -------------------------------------------------- URL canonicalization
+
+def _url_fixture(n: int = 200) -> list[tuple[int, str]]:
+    """Deterministic messy-URL fixture (mirrored by the engine query's
+    generator — same formula, zero shared code)."""
+    out = []
+    for i in range(n):
+        j = i // 2  # pair (2j, 2j+1): same logical URL, different mess
+        scheme = "HTTPS" if j % 5 == 0 else "http"
+        host = f"site{j % 7}.example.com"
+        if i % 3 == 0:
+            host = host.upper()
+        path = f"/a/b{j % 11}" + "/" * (i % 3)
+        params = []
+        if j % 9 != 0:
+            params = [f"x={j % 13}", f"y={j % 4}"]
+            if j % 4 == 0:
+                params.append(f"utm_source=t{j % 5}")
+            if i % 2 == 0:
+                params.reverse()
+        url = f"{scheme}://{host}{path}"
+        if params:
+            url += "?" + "&".join(params)
+        if i % 6 == 0:
+            url += "#frag"
+        out.append((i, url))
+    return out
+
+
+def _canon_url(u: str) -> str:
+    """Independent pure-python canonicalization (engine:
+    functions/urls.py::canonicalize_url without strip_params)."""
+    rest = u.strip()
+    scheme, _, rest = rest.partition("://")
+    frag_cut = rest.split("#", 1)[0]
+    hostpart, sep_q, query = frag_cut.partition("?")
+    host, slash, path = hostpart.partition("/")
+    path = (slash + path).rstrip("/")
+    params = sorted(p for p in query.split("&") if p != "")
+    q_part = "?" + "&".join(params) if params else ""
+    return f"{scheme.lower()}://{host.lower()}{path}{q_part}"
+
+
+def url_canon_rows(n: int = 200) -> list[tuple]:
+    """(canon, n_urls, min_id) — canonical groups of the fixture."""
+    groups: dict[str, list[int]] = {}
+    for i, u in _url_fixture(n):
+        groups.setdefault(_canon_url(u), []).append(i)
+    return [(c, len(ids), min(ids)) for c, ids in sorted(groups.items())]
+
+
 # ----------------------------------------------------------------- PQ ANN
 
 def _np_round(x: float, d: int) -> float:
