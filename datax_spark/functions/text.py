@@ -193,3 +193,65 @@ def unigram_logprob(df, text_col: str, id_col: str):
         .agg(F.count("*").alias("n_words"),
              F.round((F.sum("_lp").cast("double") / F.count("*")), 6).alias("avg_logprob"))
     )
+
+
+# ------------------------------------------------------------------ PII
+
+# Conservative, engine-portable patterns (valid in both Java regex and
+# RE2): the point is redaction-before-training, where false negatives
+# are worse than over-redaction. All three are codegen projections.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_count(col, kind: str) -> Column:
+    """Number of matches of one PII pattern (pre-scrub audit metric)."""
+    return F.regexp_count(col, F.lit(PII_PATTERNS[kind]))
+
+
+def pii_scrub(col) -> Column:
+    """Redact emails / phone-like / IPv4-like substrings with typed
+    placeholders. Email runs first so its digit runs can't be half-eaten
+    by the phone pattern. Zero-shuffle scan-side projection — the shape
+    a 100 TB redaction pass must have."""
+    out = F.regexp_replace(col, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+    out = F.regexp_replace(out, PII_PATTERNS["ipv4"], "<IP>")
+    return out
+
+
+def paragraph_dedup_stats(df, text_col: str, id_col: str,
+                          delim: str = " the ", max_df: int = 5):
+    """Corpus-level paragraph (line-level) dedup statistics — the CCNet /
+    RefinedWeb step that drops boilerplate paragraphs repeated across
+    many pages. Documents are split on ``delim``; a paragraph's document
+    frequency is counted corpus-wide; per document we report how many
+    paragraphs survive a ``df <= max_df`` filter and the surviving
+    character volume.
+
+    Plan: explode → one exchange keyed by paragraph (countDistinct doc)
+    → join back on paragraph → per-doc aggregate. The join key is the
+    paragraph STRING here because the driver's oracle must reproduce it
+    in SQL; at 100 TB key on xxhash64(paragraph) instead so the shuffle
+    carries 8-byte keys (collision-safe for dedup purposes), exactly as
+    operators/dedup.py does for exact dedup.
+    """
+    import re as _re
+
+    paras = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), _re.escape(delim))).alias("_p"))
+        .filter(F.col("_p") != "")
+    )
+    dfc = paras.groupBy("_p").agg(F.count_distinct(F.col(id_col)).alias("_df"))
+    return (
+        paras.join(dfc, "_p")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("_df") > max_df, 1).otherwise(0)).alias("n_dup_paras"),
+            F.sum(F.when(F.col("_df") <= max_df, F.length("_p")).otherwise(F.lit(0).cast("int"))).alias("kept_chars"),
+        )
+    )

@@ -341,6 +341,7 @@ class LakeTable:
         include_deleted: bool = False,
         include_system: bool = False,
         snapshot_id: int | None = None,
+        collapse: bool = True,
     ) -> DataFrame:
         """Scan the table (optionally a bucket subset / time-travel snapshot).
 
@@ -392,7 +393,12 @@ class LakeTable:
         # lww_dedup (map-side partial combine; shuffle ∝ unique keys).
         # Null ts sorts lowest in the struct ordering, so null-ts
         # versions lose to any real timestamp.
-        if entries and any(e.get("kind") == "delta" for e in entries):
+        # ``collapse=False`` exposes the raw version rows (every delta
+        # version + base rows, one row per (key, write) rather than per
+        # key) — the feed/incremental readers and bucket-local version
+        # analytics consume this; ``include_deleted`` then applies to the
+        # individual version rows.
+        if collapse and entries and any(e.get("kind") == "delta" for e in entries):
             key = m["key_col"]
             ts_col = m["properties"].get("lww_ts_col")
             if ts_col is None:

@@ -55,6 +55,65 @@ def kmv_kth_hash(df: DataFrame, cols: list[str], k: int = 256,
     return out.distinct().orderBy("h").limit(k)
 
 
+def hll_registers(df: DataFrame, cols: list[str], p: int = 6) -> DataFrame:
+    """Deterministic HyperLogLog register table over xxhash64(cols).
+
+    Spark's own ``approx_count_distinct`` is HLL++ with an opaque binary
+    state; this is the textbook HLL [Flajolet et al. 2007] expressed as
+    auditable DataFrame ops so an independent oracle can reproduce the
+    registers bit-for-bit (the same reason sketches.py prefers KMV):
+
+    - bucket = low ``p`` bits of the hash (0 .. 2^p-1)
+    - rho    = leading-zero count of the remaining 64-p bits + 1,
+               computed as ``(64-p) + 1 - length(bin(rest))`` — a pure
+               string-length trick that stays in whole-stage codegen
+               (``bin`` drops leading zeros; rest == 0 ⇒ length term 0
+               via the null-to-zero guard ⇒ rho = 64-p+1, the cap).
+
+    Returns (bucket int, max_rho int), observed buckets only (absent
+    bucket ≡ register 0). Plan: one projection + one groupBy(bucket)
+    max() — the exchange carries at most 2^p rows per upstream task
+    (map-side combine), so the sketch costs one scan at any scale.
+    Mergeability is the whole point: register tables from disjoint
+    partitions/tables union + re-max to the sketch of the union.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    h = F.xxhash64(*[F.col(c) for c in cols])
+    any_set = F.col(cols[0]).isNotNull()
+    for c in cols[1:]:
+        any_set = any_set | F.col(c).isNotNull()
+    width = 64 - p
+    bucket = h.bitwiseAND(F.lit((1 << p) - 1)).cast("int")
+    rest = F.shiftrightunsigned(h, p)
+    bitlen = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    rho = (F.lit(width + 1) - bitlen).cast("int")
+    return (
+        df.filter(any_set)
+        .select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = 6) -> float:
+    """Driver-side estimate from an (already tiny) register table —
+    standard HLL harmonic mean with the small-range linear-counting
+    correction. ``registers`` = [(bucket, max_rho), ...]."""
+    import math
+
+    m = 1 << p
+    regs = [0] * m
+    for b, r in registers:
+        regs[b] = max(regs[b], r)
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    raw = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return raw
+
+
 def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256,
                  prefilter: int | None = None) -> DataFrame:
     """One-row DataFrame: (k, n_kept, kth_hash, est_distinct).

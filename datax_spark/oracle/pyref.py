@@ -674,8 +674,11 @@ def media_video_frame_rows(n: int = 120) -> list[tuple]:
 def values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
     """Render rows as ``SELECT CAST(...) ... FROM (VALUES ...)`` DuckDB SQL.
 
-    ``cols`` is [(name, duckdb_type)]; floats use ``repr`` (shortest
-    round-trip decimal → parses back to the identical double)."""
+    ``cols`` is [(name, duckdb_type)]; floats are emitted as QUOTED
+    ``repr`` strings (VARCHAR → DOUBLE cast parses the shortest
+    round-trip decimal back to the identical double; a bare numeric
+    literal would go through DECIMAL first and can lose the last ulp on
+    17-significant-digit values — observed on media_features)."""
     if not rows:
         casts = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
         return f"SELECT {casts} WHERE 1=0"
@@ -686,7 +689,7 @@ def values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, float):
-            return repr(v)
+            return "'" + repr(v) + "'"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         return str(int(v))
@@ -695,3 +698,58 @@ def values_sql(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
     names = ", ".join(f"c{i}" for i in range(len(cols)))
     sel = ", ".join(f"CAST(c{i} AS {t}) AS {n}" for i, (n, t) in enumerate(cols))
     return f"SELECT {sel} FROM (VALUES\n{body}\n) AS t({names})"
+
+
+# ------------------------------------------------------------------- HLL
+
+def hll_register_rows(sf_dir: str, p: int = 6) -> list[tuple]:
+    """(bucket, max_rho) register table over the synthetic per-doc URLs
+    (engine: operators/sketches.py::hll_registers) — bit-identical
+    reproduction via the pure-python xxh64."""
+    docs = _load_pandas(sf_dir, "documents")
+    mask = (1 << 64) - 1
+    regs: dict[int, int] = {}
+    width = 64 - p
+    for r in docs.itertuples():
+        url = f"https://{r.source}.example.com/page/{int(r.doc_id) % 97}"
+        u = spark_xxhash64(url) & mask  # unsigned view of the signed hash
+        bucket = u & ((1 << p) - 1)
+        rho = width + 1 - (u >> p).bit_length()
+        if regs.get(bucket, 0) < rho:
+            regs[bucket] = rho
+    return sorted(regs.items())
+
+
+# ------------------------------------------- canonical-key CDC merge
+
+def url_change_fixture(n: int = 200) -> list[tuple]:
+    """(lsn, url, op, ts_str, value): a messy-URL change stream over the
+    shared _url_fixture — several raw spellings of one logical page
+    racing through inserts/updates/deletes (mirrored by the engine
+    query's generator; zero shared code with the Spark plan)."""
+    rows = []
+    for i, u in _url_fixture(n):
+        op = "D" if i % 17 == 0 else ("I" if i % 7 == 0 else "U")
+        ts_min = (i * 37) % 100
+        ts = f"2024-01-01 {ts_min // 60:02d}:{ts_min % 60:02d}:00"
+        rows.append((i, u, op, ts, float(i) * 0.5))
+    return rows
+
+
+def canonical_merge_rows(n: int = 200) -> list[tuple]:
+    """Final LWW table state of url_change_fixture keyed by the
+    CANONICAL url: winner per canon group by (ts, lsn); a winning
+    tombstone removes the key. Output (canon, last_lsn, last_url,
+    last_ts, last_value)."""
+    best: dict[str, tuple] = {}
+    for lsn, url, op, ts, val in url_change_fixture(n):
+        c = _canon_url(url)
+        cur = best.get(c)
+        if cur is None or (ts, lsn) > (cur[0], cur[1]):
+            best[c] = (ts, lsn, url, op, val)
+    out = []
+    for c, (ts, lsn, url, op, val) in sorted(best.items()):
+        if op == "D":
+            continue
+        out.append((c, lsn, url, ts, val))
+    return out

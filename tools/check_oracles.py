@@ -4,11 +4,25 @@ Runs every ``queries()`` entry at sf0.01 on Spark and, where an oracle
 exists, the same query in DuckDB; compares row count, column names, and
 an order-insensitive value hash (columns sorted by name, rows sorted by
 their full stringified tuple). Reports per-query PASS/FAIL.
+
+The cell stringification is deliberately STRICT — plain ``str(v)``, no
+float normalization — because the driver's gate is (observed r3,
+VERDICT.md "What's wrong #1"): a DuckDB HUGEINT sum materialized as
+pandas float64 hashes as "28.0" against Spark's bigint "28" and FAILS,
+so oracles must CAST widening aggregates back to the Spark-side type.
+Anything green under this protocol is green under any reasonable
+stringify.
+
+Per-query wall-clock (Spark side) is appended to ORACLE_TIMES.json at
+the repo root so driver-gate truncation/timeout is diagnosable from
+inside the repo (VERDICT.md next-round item #9).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 import traceback
@@ -22,13 +36,12 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from datax_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
+TIMES_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ORACLE_TIMES.json")
 
 
 def norm_cell(v):
     if v is None or v != v:  # None / NaN
         return ""
-    if isinstance(v, float):
-        return f"{v:.10g}"
     if isinstance(v, bool):
         return str(bool(v)).lower()
     return str(v)
@@ -51,6 +64,7 @@ def main(selected: list[str] | None = None):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     results = {}
+    times: dict[str, float] = {}
     for name, fn in qs.items():
         if selected and name not in selected:
             continue
@@ -59,8 +73,10 @@ def main(selected: list[str] | None = None):
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception:
             results[name] = ("SPARK-ERROR", traceback.format_exc(limit=3))
+            times[name] = round(time.time() - t0, 2)
             print(f"{name:28s} SPARK-ERROR")
             continue
+        times[name] = round(time.time() - t0, 2)
         if name not in oracles:
             results[name] = ("ROWS-ONLY", len(sdf))
             print(f"{name:28s} ROWS-ONLY rows={len(sdf)}  ({time.time()-t0:.1f}s)")
@@ -87,6 +103,13 @@ def main(selected: list[str] | None = None):
             for i in idx:
                 print(f"    spark: {a[i][:200]}")
                 print(f"    duck : {b[i][:200]}")
+    if not selected:  # full pass: persist per-query walls for gate-budget diagnosis
+        with open(TIMES_PATH, "w") as fh:
+            json.dump(
+                {"sf_dir": SF_DIR, "spark_wall_sec": times,
+                 "total_sec": round(sum(times.values()), 2)},
+                fh, indent=1, sort_keys=False)
+        print(f"[oracle-times] wrote {TIMES_PATH} total={sum(times.values()):.1f}s")
     fails = [k for k, v in results.items() if v[0] not in ("PASS", "ROWS-ONLY")]
     print(f"\n{len(results)} checked, {len(fails)} failing: {fails}")
     for k in fails:
