@@ -192,3 +192,79 @@ def test_empty_tail_dir_streams_idle_but_batch_read_fails(spark, tmp_path):
     assert _scan_shards(root) == {}  # stream offset scans tolerate empty
     with pytest.raises(FileNotFoundError, match="no shard"):
         ShardTailBatchReader(root)
+
+
+# ---------------------------- round-4: row-group pruning + footer cache
+
+
+def test_overlapping_groups_selection_math():
+    from datax_spark.sources.shardtail import _overlapping_groups
+
+    sizes = [10, 10, 10, 10]  # rows 0..39
+    assert _overlapping_groups(sizes, 0, 40) == ([0, 1, 2, 3], 0)
+    assert _overlapping_groups(sizes, 12, 18) == ([1], 10)
+    assert _overlapping_groups(sizes, 9, 11) == ([0, 1], 0)
+    assert _overlapping_groups(sizes, 30, 40) == ([3], 30)
+    assert _overlapping_groups(sizes, 10, 10) == ([], 0)  # empty range
+    assert _overlapping_groups(sizes, 39, 100) == ([3], 30)  # clamped hi
+    assert _overlapping_groups([], 0, 5) == ([], 0)
+
+
+def test_slice_read_decodes_only_overlapping_row_groups(tmp_path, monkeypatch):
+    """A bounded slice of a multi-row-group file must decode ∝ slice
+    bytes, not the whole file: spy on ParquetFile.read_row_groups and
+    assert only the overlapping groups were requested, and that the rows
+    come back correct."""
+    import pyarrow.parquet as pq_mod
+
+    from datax_spark.sources import shardtail as st
+
+    d = tmp_path / "shard=0"
+    d.mkdir(parents=True)
+    t = pa.table({"lsn": pa.array(range(1000), pa.int64())})
+    pq.write_table(t, str(d / "f0000.parquet"), row_group_size=100)
+
+    seen: list[list[int]] = []
+    orig = pq_mod.ParquetFile.read_row_groups
+
+    def spy(self, groups, **kw):
+        seen.append(list(groups))
+        return orig(self, groups, **kw)
+
+    monkeypatch.setattr(pq_mod.ParquetFile, "read_row_groups", spy)
+    files = [(str(d / "f0000.parquet"), 0, 1000)]
+    batches = list(st._read_slice(st.ShardSlice("0", files, 250, 430)))
+    got = [v for b in batches for v in b.column(0).to_pylist()]
+    assert got == list(range(250, 430))
+    assert seen == [[2, 3, 4]]  # groups 200-299, 300-399, 400-499 only
+
+
+def test_footer_scan_is_cached_per_file(tmp_path, monkeypatch):
+    """Second _scan_shards over an unchanged directory must read ZERO
+    parquet footers (the driver-side manifest cache); a new file costs
+    exactly one footer read."""
+    import pyarrow.parquet as pq_mod
+
+    from datax_spark.sources import shardtail as st
+
+    root = str(tmp_path / "tail")
+    _fixture(root, n_shards=2, files_per_shard=3, rows_per_file=10)
+
+    calls = []
+    orig = pq_mod.read_metadata
+
+    def spy(path, *a, **kw):
+        calls.append(str(path))
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr(pq_mod, "read_metadata", spy)
+    st._FOOTER_ROWS.clear()
+    first = st._scan_shards(root)
+    assert len(calls) == 6
+    calls.clear()
+    second = st._scan_shards(root)
+    assert calls == []  # steady-state trigger: scandir only, no footer I/O
+    assert second == first
+    _write_shard_file(root, 0, 99, [1, 2, 3])
+    st._scan_shards(root)
+    assert len(calls) == 1  # only the new file's footer
