@@ -85,6 +85,8 @@ def run_stream(
     pre_merge=None,
     source_format: str = "files",
     max_rows_per_trigger: int | None = None,
+    canonicalize_key: bool = False,
+    hooks: list | None = None,
 ):
     """Tail parquet change files in ``source_dir`` into the lake table.
 
@@ -101,8 +103,37 @@ def run_stream(
     ``r × base bytes`` after any batch (size trigger — bounds read
     amplification by data volume, not batch count; manifest-stat check
     per batch, no file scans). The two compose; either alone works.
+
+    ``canonicalize_key=True`` rewrites the table's key column through
+    ``functions.urls.canonicalize_url`` before every merge — the
+    crawl-dedup semantics where http://A/, HTTPS://a and a?b=1&a=2 /
+    a?a=2&b=1 spellings of one page race to ONE lake row (LWW still by
+    (ts, lsn) across the canonical group). The raw spelling survives only
+    if the caller projects it into a non-key column upstream.
+
+    ``hooks``: job-completion callables ``(job_config, metrics) -> None``
+    invoked once after the bounded replay / stop finishes (per-hook error
+    isolation — the JobContainer.invokeHooks analog, see
+    ``datax_spark.hooks``); outcomes are attached to the returned query
+    object as ``q.datax_hook_results``. Unbounded runs (no
+    ``available_now``, no ``stop_after_batches``) invoke hooks only if
+    ``timeout_sec`` elapses the await — a never-ending tail has no
+    completion to hook.
     """
     table = LakeTable(spark, table_root).load()
+    if canonicalize_key:
+        from pyspark.sql import functions as F
+
+        from datax_spark.functions.urls import canonicalize_url
+
+        _key = table.key_col
+        _user_pre = pre_merge
+
+        def pre_merge(df):  # noqa: F811 — deliberate decoration of the arg
+            if _user_pre is not None:
+                df = _user_pre(df)
+            return df.withColumn(_key, canonicalize_url(F.col(_key)))
+
     seen = {"n": 0}
     # Checkpoint epoch: Spark restarts batch ids at 0 when the checkpoint
     # is recreated, so the batch-id fence is only valid WITHIN one
@@ -181,6 +212,24 @@ def run_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+    def _finish(q):
+        if hooks:
+            from datax_spark.hooks import invoke_hooks
+
+            job_doc = {
+                "source_dir": source_dir, "table_root": table_root,
+                "checkpoint_dir": checkpoint_dir, "stream_id": stream_id,
+                "source_format": source_format, "merge_mode": merge_mode,
+                "canonicalize_key": canonicalize_key,
+            }
+            all_metrics = read_metrics(table_root)
+            summary = {
+                "batches_applied": seen["n"],
+                "last_batch": all_metrics[-1] if all_metrics else None,
+            }
+            q.datax_hook_results = invoke_hooks(hooks, job_doc, summary)
+        return q
     if available_now and stop_after_batches is None:
         writer = writer.trigger(availableNow=True)
         q = writer.start()
@@ -213,7 +262,7 @@ def run_stream(
                         f"{timeout_sec or 600}s of rate-limited drains "
                         f"({seen['n']} batches applied) — raise timeout_sec "
                         f"or max_rows_per_trigger")
-        return q
+        return _finish(q)
     q = writer.start()
     if stop_after_batches is not None:
         import time as _t
@@ -223,6 +272,6 @@ def run_stream(
             _t.sleep(0.2)
         q.stop()
         q.awaitTermination(30)
-        return q
+        return _finish(q)
     q.awaitTermination(timeout_sec)
-    return q
+    return _finish(q)

@@ -338,11 +338,16 @@ def pre_check(spark: SparkSession, cfg: JobConfig) -> dict:
     return {"ok": all(c["ok"] for c in checks), "checks": checks}
 
 
-def run_job(spark: SparkSession, config: str | JobConfig) -> dict:
+def run_job(spark: SparkSession, config: str | JobConfig, hooks: list | None = None) -> dict:
     """Execute a job config; returns a result/metrics dict.
 
     Lifecycle mirrors JobContainer phases: parse/validate → (dryRun:
-    explain + stop) → read → transform chain → write → report.
+    explain + stop) → read → transform chain → write → report →
+    ``hooks`` (each ``callable(job_config_dict, result_dict)``, invoked
+    after the write with per-hook error isolation —
+    ``JobContainer.java:971-975`` / ``Hook.java:17-25``; outcomes land
+    in ``result["hooks"]``). The dryRun path stops before write and
+    invokes no hooks, like the reference's preCheck exit.
     """
     cfg = config if isinstance(config, JobConfig) else JobConfig.from_json(config)
     if cfg.dry_run:
@@ -358,4 +363,11 @@ def run_job(spark: SparkSession, config: str | JobConfig) -> dict:
                 "schema": df.schema.simpleString(), "plan": plan}
     df = _read(spark, cfg)
     df = _transform(df, cfg)
-    return _write(df, spark, cfg)
+    result = _write(df, spark, cfg)
+    if hooks:
+        from datax_spark.hooks import invoke_hooks
+
+        job_doc = {"reader": cfg.reader, "writer": cfg.writer,
+                   "transformers": cfg.transformers, "channels": cfg.channels}
+        result["hooks"] = invoke_hooks(hooks, job_doc, result)
+    return result
