@@ -219,3 +219,75 @@ def dxv_frame_lumas(payload: bytes) -> np.ndarray:
     w, h, n = dxv_info(payload)
     body = np.frombuffer(payload, dtype=np.uint8, count=n * h * w, offset=_DXV_HDR.size)
     return body.reshape(n, h * w).mean(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Magic-byte codec registry — the plug-in seam
+# ---------------------------------------------------------------------------
+#
+# Real crawls carry JPEG/PNG/MP3/MP4, not BMP. Those decoders need
+# libraries this container genuinely lacks (PIL/ffmpeg), so the seam is
+# structured for them to LIGHT UP on import without touching any caller:
+# a decoder registers (kind, magic_prefix, features_fn) here; the
+# multimodal feature extractors dispatch payloads by sniffing magic
+# bytes against this table. ``multimodal.decode_features`` snapshots the
+# table into its UDF closure, so a runtime registration (including a
+# test-injected fake) ships to executors with the plan — no module-state
+# sync problem between driver and Python workers.
+
+_CODEC_REGISTRY: list[tuple[str, bytes, object]] = []
+
+
+def register_codec(kind: str, magic: bytes, features) -> None:
+    """Register ``features(payload: bytes) -> dict`` for payloads whose
+    leading bytes equal ``magic``. The dict's keys must be a subset of
+    the DECODED_SCHEMA feature columns (multimodal.py); missing ones
+    stay NULL. Longest matching magic wins; among equal-length magics
+    the LATEST registration wins (library upgrade semantics)."""
+    if not magic:
+        raise ValueError("magic prefix must be non-empty")
+    _CODEC_REGISTRY.append((kind, bytes(magic), features))
+
+
+def registry_snapshot() -> list[tuple[str, bytes, object]]:
+    """Copy of the dispatch table for shipping inside a UDF closure."""
+    return list(_CODEC_REGISTRY)
+
+
+def sniff_codec(payload: bytes, registry=None):
+    """(kind, features_fn) for the best-matching registered magic, or
+    None (caller decides: quarantine / raise)."""
+    table = _CODEC_REGISTRY if registry is None else registry
+    best = None
+    for kind, magic, fn in table:
+        if payload[: len(magic)] == magic and (
+            best is None or len(magic) >= len(best[1])
+        ):
+            best = (kind, magic, fn)
+    return (best[0], best[2]) if best else None
+
+
+def _try_register_real_codecs() -> None:
+    """JPEG/PNG decoders register iff PIL imports — absent here, so in
+    this repo the seam is exercised by the fake-decoder test
+    (tests/test_codecs.py); on a box with Pillow these light up with no
+    caller changes, which is the point of the registry."""
+    try:
+        from PIL import Image  # noqa: F401  (pragma: no cover — not in container)
+    except ImportError:
+        return
+    import io  # pragma: no cover — exercised only where PIL exists
+
+    def _pil_features(payload: bytes) -> dict:  # pragma: no cover
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        st = image_stats(np.asarray(img))
+        thumb = resize_nearest(np.asarray(img), 4, 4)
+        return {"width": st["width"], "height": st["height"],
+                "mean_luma": round(st["mean_luma"], 6),
+                "thumb_checksum": int(thumb.astype(np.int64).sum())}
+
+    register_codec("image", b"\xff\xd8\xff", _pil_features)          # JPEG
+    register_codec("image", b"\x89PNG\r\n\x1a\n", _pil_features)     # PNG
+
+
+_try_register_real_codecs()

@@ -248,43 +248,65 @@ _NULLED = dict(width=None, height=None, n_frames=None, n_samples=None,
                peak=None, zcr=None, thumb_checksum=None)
 
 
-def _decode_one(kind: str, payload: bytes) -> dict:
-    """Dispatch a blob to its real decoder and compute typed features.
-    Raises ValueError on corrupt payloads (callers route to quarantine)."""
+def _bmp_features(payload: bytes) -> dict:
+    rgb = _codecs.decode_bmp(payload)
+    st = _codecs.image_stats(rgb)
+    thumb = _codecs.resize_nearest(rgb, 4, 4)
+    return {"width": st["width"], "height": st["height"],
+            "mean_luma": round(st["mean_luma"], 6),
+            "thumb_checksum": int(thumb.astype(np.int64).sum())}
+
+
+def _wav_features(payload: bytes) -> dict:
+    samples, rate, ch = _codecs.decode_wav(payload)
+    st = _codecs.audio_stats(samples, rate, ch)
+    return {"n_samples": st["n_samples"], "sample_rate": st["sample_rate"],
+            "duration_ms": st["duration_ms"], "rms": round(st["rms"], 6),
+            "peak": st["peak"], "zcr": round(st["zcr"], 6)}
+
+
+def _dxv_features(payload: bytes) -> dict:
+    w, h, nf = _codecs.dxv_info(payload)
+    lumas = _codecs.dxv_frame_lumas(payload)
+    return {"width": w, "height": h, "n_frames": nf,
+            "mean_luma": round(float(lumas.mean()), 6)}
+
+
+# Built-in formats enter through the same seam an external JPEG/PNG/MP3
+# decoder would use (codecs.register_codec) — dispatch is by payload
+# magic bytes, so "add a format" is one registration, zero caller edits.
+_codecs.register_codec("image", b"BM", _bmp_features)
+_codecs.register_codec("audio", b"RIFF", _wav_features)
+_codecs.register_codec("video", b"DXV0", _dxv_features)
+
+
+def _decode_one(kind: str, payload: bytes, registry=None) -> dict:
+    """Sniff the blob's magic against the codec registry and compute
+    typed features. Raises ValueError on corrupt/unregistered payloads
+    (callers route to quarantine)."""
+    hit = _codecs.sniff_codec(payload, registry)
+    if hit is None:
+        raise ValueError(
+            f"no registered codec for payload (kind hint {kind!r}, "
+            f"head {bytes(payload[:8])!r})")
     out = dict(_NULLED)
-    if kind == "image":
-        rgb = _codecs.decode_bmp(payload)
-        st = _codecs.image_stats(rgb)
-        thumb = _codecs.resize_nearest(rgb, 4, 4)
-        out.update(width=st["width"], height=st["height"],
-                   mean_luma=round(st["mean_luma"], 6),
-                   thumb_checksum=int(thumb.astype(np.int64).sum()))
-    elif kind == "audio":
-        samples, rate, ch = _codecs.decode_wav(payload)
-        st = _codecs.audio_stats(samples, rate, ch)
-        out.update(n_samples=st["n_samples"], sample_rate=st["sample_rate"],
-                   duration_ms=st["duration_ms"], rms=round(st["rms"], 6),
-                   peak=st["peak"], zcr=round(st["zcr"], 6))
-    elif kind == "video":
-        w, h, nf = _codecs.dxv_info(payload)
-        lumas = _codecs.dxv_frame_lumas(payload)
-        out.update(width=w, height=h, n_frames=nf,
-                   mean_luma=round(float(lumas.mean()), 6))
-    else:
-        raise ValueError(f"unknown media kind {kind!r}")
+    out.update(hit[1](payload))
     return out
 
 
 def decode_features(df: DataFrame) -> DataFrame:
     """Real decode + feature extraction over encoded payloads. Per-row
     work is a numpy kernel over that row's blob (the PIL-per-image cost
-    model); no per-pixel/per-sample Python."""
+    model); no per-pixel/per-sample Python. The codec dispatch table is
+    SNAPSHOTTED into the UDF closure, so decoders registered at runtime
+    (PIL lighting up, a test fake) reach executors with the plan."""
+    registry = _codecs.registry_snapshot()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                rec = _decode_one(str(kind), bytes(payload))
+                rec = _decode_one(str(kind), bytes(payload), registry)
                 rec.update(media_id=int(mid), kind=str(kind))
                 recs.append(rec)
             yield pd.DataFrame(recs, columns=[f.name for f in DECODED_SCHEMA.fields])
