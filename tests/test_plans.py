@@ -145,3 +145,40 @@ def test_q14_broadcasts_the_dim(spark):
     plan = _plan(q)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bucket_local_agg_has_no_exchange(spark, tmp_path):
+    """Round-4 pin (VERDICT r3 next-round #3): per-key aggregation over
+    the table's own bucket layout must NOT reshuffle — the plan of every
+    per-bucket branch is Scan → Coalesce → MapInPandas, and the union
+    carries no Exchange anywhere."""
+    from datax_spark.lake.bucketed import bucket_local_agg, read_bucketed
+    from datax_spark.lake.merge import merge_into
+
+    t = _mk_table(spark, str(tmp_path / "t"))
+    bulk_load(t, _pages(spark, 200))
+    ch = _pages(spark, 40).select(
+        "url", (F.col("warc_ts") + F.expr("INTERVAL 1 HOUR")).alias("warc_ts"),
+        F.lit("de").alias("lang"),
+    ).withColumn("lsn", F.monotonically_increasing_id() + 1000).withColumn("op", F.lit("U"))
+    merge_into(t, ch, merge_mode="mor")
+
+    agg = bucket_local_agg(
+        t, {"n_versions": ("count", None), "last_ts": ("max", "warc_ts")},
+        include_system=True, collapse=False,
+    )
+    plan = _plan(agg)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan and "Coalesce" in plan
+    # correctness cross-check vs the exchange-ful reference aggregation
+    ref = (t.read(include_system=True, collapse=False)
+           .groupBy("url").agg(F.count("*").alias("n_versions"),
+                               F.max("warc_ts").alias("last_ts")))
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, ref.collect()))
+    # and the per-bucket reads cover disjoint key sets (bucket invariant)
+    parts = read_bucketed(t, include_system=True, collapse=False)
+    seen = set()
+    for _b, df_b in parts:
+        keys = {r[0] for r in df_b.select("url").distinct().collect()}
+        assert not (keys & seen)
+        seen |= keys
