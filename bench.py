@@ -49,7 +49,17 @@ QUERY_NAMES = [
     "range_join_event_windows",
     "doc_hash_split",
     "sketch_kmv_distinct",
+    # round-4 session additions
+    "bucket_local_agg",
+    "hll_distinct_urls",
+    "doc_paragraph_dedup",
+    "cdc_canonical_merge",
 ]
+
+# dedup_exact regressed 0.42→0.98 s in BENCH_r03 with an UNCHANGED plan
+# (no rebalance in its path; scan → digest → hash agg) — extra reps to
+# separate noise from signal on this virtualized host (VERDICT r3 #4).
+EXTRA_REPS = {"dedup_exact": 4}
 
 
 def _fresh_spark(cores: int):
@@ -136,6 +146,98 @@ def _replay(spark, input_path: str, table_root: str, n_events: int,
         times.append(time.time() - t0)
         shutil.rmtree(f"{table_root}_r{rep}", ignore_errors=True)
     return min(times)
+
+
+def _replay_ab(spark, input_path: str, table_root: str, n_events: int,
+               modes: tuple = ("cow", "cow-latemat"), reps: int = 2) -> dict:
+    """INTERLEAVED A/B replay (the only trustworthy design comparison on
+    this noisy host): warmup once, then alternate modes rep by rep into
+    fresh tables; min per mode. Used for the round-4 late-materialization
+    prototype (VERDICT r3 #10) — no default change unless the A/B wins."""
+    from pyspark.sql import functions as F, types as T
+
+    from datax_spark.cdc.apply import apply_changes
+    from datax_spark.functions.extract import with_enrichment
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), True),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("lang_id", T.StringType(), True),
+            T.StructField("n_tokens", T.LongType(), True),
+            T.StructField("quality", T.DoubleType(), True),
+            T.StructField("fp", T.LongType(), True),
+        ]
+    )
+    ch = spark.read.parquet(input_path)
+    wt = LakeTable.create(spark, f"{table_root}_warm", schema, key_col="url",
+                          num_buckets=NUM_BUCKETS)
+    apply_changes(wt, ch, batch_id=0, transform=with_enrichment, merge_mode=modes[0])
+    shutil.rmtree(f"{table_root}_warm", ignore_errors=True)
+
+    per = n_events // N_BATCHES
+    best: dict[str, float] = {}
+    for rep in range(reps):
+        for mode in modes:
+            root = f"{table_root}_{mode}_r{rep}"
+            t = LakeTable.create(spark, root, schema, key_col="url",
+                                 num_buckets=NUM_BUCKETS)
+            t0 = time.time()
+            for b in range(N_BATCHES):
+                hi = (b + 1) * per if b < N_BATCHES - 1 else n_events + 1
+                batch = ch.filter((F.col("lsn") > b * per) & (F.col("lsn") <= hi))
+                apply_changes(t, batch, batch_id=b, transform=with_enrichment,
+                              merge_mode=mode)
+            dt = time.time() - t0
+            best[mode] = min(best.get(mode, dt), dt)
+            shutil.rmtree(root, ignore_errors=True)
+    return best
+
+
+def _shard_trickle(tmp_base: str, n_rows: int = 400_000, group: int = 4096,
+                   budget: int = 4096, triggers: int = 6) -> dict:
+    """Per-trigger read cost of a bounded tail crawling ONE large shard
+    file: the round-4 row-group-pruned `_read_slice` vs the round-3
+    whole-file decode (reimplemented inline as the A baseline). With
+    pruning, a trigger reads ∝ budget bytes regardless of file size —
+    the delta VERDICT r3 #2 asked to be measured. Pure pyarrow (the
+    executor-side read path), no Spark session needed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_spark.sources.shardtail import ShardSlice, _read_slice
+
+    d = os.path.join(tmp_base, "shard_trickle", "shard=0")
+    os.makedirs(d, exist_ok=True)
+    fpath = os.path.join(d, "f0000.parquet")
+    t = pa.table({
+        "lsn": pa.array(range(n_rows), pa.int64()),
+        "payload": pa.array([f"padding-{i % 97:064d}" for i in range(n_rows)]),
+    })
+    pq.write_table(t, fpath, row_group_size=group)
+    files = [(fpath, 0, n_rows)]
+
+    def _full_read(part):  # the pre-round-4 implementation, A baseline
+        table = pq.read_table(part.files[0][0]).slice(part.start, part.end - part.start)
+        yield from table.to_batches()
+
+    out = {}
+    for label, reader in (("shard_trickle_pruned_sec", _read_slice),
+                          ("shard_trickle_fullread_sec", _full_read)):
+        t0 = time.time()
+        rows = 0
+        for k in range(triggers):
+            lo = k * budget
+            for b in reader(ShardSlice("0", files, lo, lo + budget)):
+                rows += b.num_rows
+        assert rows == triggers * budget
+        out[label] = round(time.time() - t0, 3)
+    shutil.rmtree(os.path.join(tmp_base, "shard_trickle"), ignore_errors=True)
+    return out
 
 
 def _ann_highdim(spark, n: int = 50000, dim: int = 512, n_q: int = 32, k: int = 10) -> dict:
@@ -286,7 +388,7 @@ def main() -> None:
         qs = entry_mod.queries()
         for name in QUERY_NAMES:
             best = None
-            for _rep in range(2):
+            for _rep in range(EXTRA_REPS.get(name, 2)):
                 t0 = time.time()
                 qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
@@ -300,16 +402,39 @@ def main() -> None:
         # ---- high-dim ANN dispatch delta (512-dim, numpy vs HOF)
         q_times.update(_ann_highdim(spark))
 
-        # ---- replay at 4N cores (this session)
-        t_4n = _replay(spark, f"{base}/changes", f"{base}/t4n", n_events)
+        # ---- shard-tail per-trigger read cost (pruned vs full decode)
+        q_times.update(_shard_trickle(base))
+
+        # ---- replay at 4N cores (this session); cow vs cow-latemat
+        # interleaved A/B rides the same timed reps
+        ab = _replay_ab(spark, f"{base}/changes", f"{base}/t4n", n_events)
+        t_4n = ab["cow"]
+        q_times["cdc_replay_4n_latemat"] = round(ab["cow-latemat"], 2)
         t_4n_mor = _replay(spark, f"{base}/changes", f"{base}/t4nm", n_events,
                            merge_mode="mor")
         q_times["cdc_replay_4n_mor"] = round(t_4n_mor, 2)
 
-        # ---- replay at N cores (fresh session, same input bytes)
-        spark = _fresh_spark(N_CORES_SMALL)
-        t_n = _replay(spark, f"{base}/changes", f"{base}/tn", n_events)
+        # ---- replay at N cores: a fresh SUBPROCESS, same input bytes.
+        # Restarting a SparkSession inside one Python process leaves the
+        # new context's PythonAccumulatorV2 channel broken (observed in
+        # BENCH_r02/r03 tails: every N-core task completion logged
+        # "Failed to update accumulator 0" — harmless here since no
+        # engine metric rides python accumulators, but ~10^3 ERROR lines
+        # of noise and a real measurement-hygiene smell). A child process
+        # gives the N-core run a genuinely fresh JVM instead.
         spark.stop()
+        time.sleep(1)
+        import subprocess
+
+        child = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--replay-child",
+             str(N_CORES_SMALL), f"{base}/changes", f"{base}/tn", str(n_events), "cow"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if child.returncode != 0:
+            sys.stderr.write(child.stderr[-4000:])
+            raise RuntimeError(f"N-core replay child failed rc={child.returncode}")
+        t_n = json.loads(child.stdout.strip().splitlines()[-1])["replay_sec"]
 
         ratio = CPUS / N_CORES_SMALL
         efficiency = (t_n / t_4n) / ratio if t_4n > 0 else None
@@ -342,5 +467,19 @@ def main() -> None:
         shutil.rmtree("/dev/shm/datax_bench_local", ignore_errors=True)
 
 
+def _replay_child() -> None:
+    """Entry for the fresh-process N-core replay (see main): argv =
+    --replay-child <cores> <input> <table_root> <n_events> <merge_mode>."""
+    cores, input_path, table_root, n_events, mode = (
+        int(sys.argv[2]), sys.argv[3], sys.argv[4], int(sys.argv[5]), sys.argv[6])
+    spark = _fresh_spark(cores)
+    t = _replay(spark, input_path, table_root, n_events, merge_mode=mode)
+    spark.stop()
+    print(json.dumps({"replay_sec": t}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--replay-child":
+        _replay_child()
+    else:
+        main()

@@ -203,11 +203,48 @@ def merge_into(
       key-broadcast-split / sort-merge by ``*_threshold_rows``). Kept
       ONLY as the interleaved A/B baseline for benchmarking the union
       path; produces identical state.
+    - ``cow-latemat``: the cow plan with the pre-dedup payload exchange
+      replaced by late materialization — winners elected on a narrow
+      (key, ts, lsn) scan, broadcast as ids, payload scan filtered to
+      winner rows (see the inline comment). Byte-identical state;
+      A/B-gated prototype, not the default.
     """
     key = table.key_col
     nb = table.num_buckets
 
-    c = lww_dedup(changes, key, ts_col, lsn_col) if dedup else changes
+    if merge_mode == "cow-latemat" and dedup:
+        # LATE MATERIALIZATION (round-4 A/B prototype, VERDICT r3 #10):
+        # lww_dedup's hash aggregate shuffles the multi-KB payload once
+        # just to elect winners; here winners are elected on a narrow
+        # (key, ts, lsn) projection (the parquet scan reads ONLY those
+        # columns — same pushdown as the stats job below), broadcast as
+        # an id set, and the payload scan is FILTERED to winner rows —
+        # loser payload bytes never enter any exchange, and the merge's
+        # single bucket exchange (cow_union_plan) carries winners only.
+        # Trade-off: a second narrow source scan + a driver broadcast of
+        # one (key, lsn) row per unique batch key — right when payloads
+        # dwarf keys (web pages); wrong when the per-batch key set
+        # approaches driver memory (use "cow" there). Opt-in via
+        # merge_mode until the interleaved A/B proves a default win.
+        winner_ids = (
+            changes.select(
+                F.col(key).alias("_wk"),
+                F.col(ts_col).cast("timestamp").alias("_wts"),
+                F.col(lsn_col).cast("bigint").alias("_wl"),
+            )
+            .groupBy("_wk")
+            .agg(F.max(F.struct("_wts", "_wl")).alias("_w"))
+            .select("_wk", F.col("_w._wl").alias("_wl"))
+        )
+        c = changes.join(
+            F.broadcast(winner_ids),
+            (F.col(key) == F.col("_wk"))
+            & (F.col(lsn_col).cast("bigint") == F.col("_wl")),
+        ).drop("_wk", "_wl")
+    elif dedup:
+        c = lww_dedup(changes, key, ts_col, lsn_col)
+    else:
+        c = changes
     if post_dedup_transform is not None:
         before = set(c.columns)
         c = post_dedup_transform(c)
@@ -283,8 +320,9 @@ def merge_into(
             # pin the read-time collapse ordering column on first use
             properties_update={"lww_ts_col": ts_col},
         )
-    if merge_mode not in ("cow", "cow-join"):
-        raise ValueError(f"unknown merge_mode {merge_mode!r} (cow|mor|cow-join)")
+    if merge_mode not in ("cow", "cow-join", "cow-latemat"):
+        raise ValueError(
+            f"unknown merge_mode {merge_mode!r} (cow|mor|cow-join|cow-latemat)")
 
     # ---- copy-on-write: bucket pruning requires the touched-bucket set
     # BEFORE the target scan, so one stats job precedes the write. It
@@ -320,10 +358,10 @@ def merge_into(
                             batch_id=batch_id, summary_extra=summary_extra,
                             new_schema=new_schema, fence_epoch=fence_epoch)
 
-    if merge_mode == "cow":
+    if merge_mode in ("cow", "cow-latemat"):
         final = cow_union_plan(table, _delta(c), sorted(touched), tschema, ts_col)
         entries = table.write_data_files(final, tschema, prepartitioned=True)
-        strategy = "cow-union"
+        strategy = "cow-union" if merge_mode == "cow" else "cow-latemat"
     else:
         final, c_persisted = _cow_join_legacy(
             table, c, _aligned, tschema, sorted(touched), batch_rows,

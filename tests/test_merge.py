@@ -244,3 +244,30 @@ def test_mor_and_cow_byte_identical(spark, tmp_path):
     t_mor.compact_buckets(min_files_per_bucket=2)
     _assert_same(_state(t_cow), _state(t_mor))
     _assert_same(_state(t_mor), _expected_final(spark, ch))
+
+
+def test_latemat_and_cow_byte_identical(spark, tmp_path):
+    """Round-4 A/B prototype: cow-latemat (winner-id broadcast instead of
+    the pre-dedup payload exchange) must produce byte-identical state to
+    cow across a non-empty target, deletes, out-of-order arrivals, and a
+    post-dedup transform (the transform sees the same winner rows)."""
+    ch = changes_df(spark, 3000, n_keys=500, partitions=4).cache()
+    t1 = _table(spark, str(tmp_path / "cow"))
+    t2 = _table(spark, str(tmp_path / "lm"))
+    base = ch.filter(F.col("lsn") <= 1000)
+    tail = ch.filter(F.col("lsn") > 1000)
+
+    def tag(df):
+        return df.withColumn("lang", F.concat(F.lit("x-"), F.col("lang")))
+
+    for t, mode in ((t1, "cow"), (t2, "cow-latemat")):
+        merge_into(t, base, batch_id=0, merge_mode=mode, post_dedup_transform=tag)
+        merge_into(t, tail, batch_id=1, merge_mode=mode, post_dedup_transform=tag)
+    _assert_same(_state(t1), _state(t2))
+    # the transform ran on winners exactly once per batch in both modes
+    assert t1.read().filter(~F.col("lang").startswith("x-")).count() == 0
+    assert t1.read().filter(F.col("lang").startswith("x-x-")).count() == 0
+    # and replay convergence holds for latemat alone (stale re-apply noop)
+    merge_into(t2, base, batch_id=2, merge_mode="cow-latemat",
+               post_dedup_transform=tag)
+    _assert_same(_state(t1), _state(t2))
