@@ -433,6 +433,33 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5)
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True connected components of the minhash near-dup graph
+    (operators/components.py — alternating large/small-star, O(log n)
+    rounds, lineage-checkpointed). Oracle: independent pure-python
+    union-find over the SAME pair set (pyref.components_rows)."""
+    from datax_spark.operators.components import connected_components
+    from datax_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id",
+                              num_hashes=32, bands=8, jaccard_threshold=0.5)
+    return connected_components(pairs).select("id", "component")
+
+
+def _q_dedup_components_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure near-dup collapse: keep the component-minimum
+    doc per near-dup COMPONENT (upgrades minhash_lsh_dedup's single-hop
+    approximation — in a chain A-B-C only A survives)."""
+    from datax_spark.operators.components import component_dedup
+    from datax_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id",
+                              num_hashes=32, bands=8, jaccard_threshold=0.5)
+    return component_dedup(docs, pairs, "doc_id").select("doc_id")
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.operators.dedup import simhash64
 
@@ -1110,6 +1137,32 @@ def _q_hll_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(urls, ["url"], p=6)
 
 
+def _q_sketch_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min word-frequency sketch over the corpus (operators/
+    sketches.py::cms_counts): auditable counters (Spark's own
+    count_min_sketch is an opaque binary) the pure-python oracle
+    reproduces exactly. Completes the sketch family: KMV + HLL
+    (distinct), CMS (frequency) — all mergeable, all hash-auditable."""
+    from datax_spark.functions.text import normalize_ws
+    from datax_spark.operators.sketches import cms_counts
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(normalize_ws(F.col("text"))), r"\s+")).alias("w"))
+    return cms_counts(words, ["w"], depth=4, width=64)
+
+
+def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of document length — the
+    corpus-profiling stat every curation pipeline reports. Spark
+    ``percentile`` (exact, not approx) vs DuckDB ``quantile_cont``:
+    both are the same lower+(upper-lower)·frac formula."""
+    docs = load(spark, sf_dir, "documents")
+    qs = [("p10", 0.1), ("p25", 0.25), ("p50", 0.5),
+          ("p75", 0.75), ("p90", 0.9), ("p99", 0.99)]
+    return docs.agg(*[F.expr(f"percentile(n_chars, {q})").alias(n) for n, q in qs])
+
+
 def _q_events_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets report over the event stream (event_type ×
     hour-of-day with all subtotal combinations + grouping_id) — the
@@ -1515,6 +1568,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shingle_idf": _q_doc_shingle_idf,
         "hll_distinct_urls": _q_hll_distinct_urls,
         "events_cube_report": _q_events_cube_report,
+        "dedup_components": _q_dedup_components,
+        "dedup_components_keep": _q_dedup_components_keep,
+        "sketch_cms_words": _q_sketch_cms_words,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q4_order_priority": _q4_order_priority,
         "q7_volume_shipping": _q7_volume_shipping,
@@ -2318,6 +2375,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC LIMIT 50
         """,
+        "doc_length_quantiles": """
+            SELECT quantile_cont(n_chars, 0.1) AS p10,
+                   quantile_cont(n_chars, 0.25) AS p25,
+                   quantile_cont(n_chars, 0.5) AS p50,
+                   quantile_cont(n_chars, 0.75) AS p75,
+                   quantile_cont(n_chars, 0.9) AS p90,
+                   quantile_cont(n_chars, 0.99) AS p99
+            FROM documents
+        """,
         "q22_global_sales_opp": """
             WITH pool AS (
               SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal,
@@ -2360,6 +2426,18 @@ def _pyref_oracles() -> dict[str, str]:
         "hll_distinct_urls": pyref.values_sql(
             pyref.hll_register_rows(sf_dir, p=6),
             [("bucket", "INTEGER"), ("max_rho", "INTEGER")],
+        ),
+        "dedup_components": pyref.values_sql(
+            pyref.components_rows(sf_dir, threshold=0.5),
+            [("id", "BIGINT"), ("component", "BIGINT")],
+        ),
+        "dedup_components_keep": pyref.values_sql(
+            pyref.component_survivors_rows(sf_dir, threshold=0.5),
+            [("doc_id", "BIGINT")],
+        ),
+        "sketch_cms_words": pyref.values_sql(
+            pyref.cms_word_rows(sf_dir, depth=4, width=64),
+            [("d", "INTEGER"), ("bucket", "INTEGER"), ("cnt", "BIGINT")],
         ),
         "dedup_minhash_lsh": pyref.values_sql(
             pyref.minhash_pairs_rows(sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5),

@@ -219,6 +219,15 @@ def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
             )
         else:
             table = LakeTable(spark, root).load()
+        if p.get("canonicalizeKey"):
+            # crawl-dedup semantics from job config: merge on the
+            # CANONICAL url (functions/urls.py) — mirrors
+            # run_stream(canonicalize_key=True)
+            from pyspark.sql import functions as F
+
+            from datax_spark.functions.urls import canonicalize_url
+
+            df = df.withColumn(table.key_col, canonicalize_url(F.col(table.key_col)))
         m = apply_changes(
             table, df,
             batch_id=p.get("batchId"),

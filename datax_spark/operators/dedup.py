@@ -128,7 +128,8 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Drop near-duplicates: each doc maps to min(id) among its near-dup
     neighbors (single-hop representative — the standard web-dedup
-    approximation; full connected components would iterate)."""
+    approximation; ``operators/components.py::component_dedup`` is the
+    full-connected-components upgrade when transitive chains matter)."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kw)
     rep = (
         pairs.select(F.col("id_b").alias("id"), F.col("id_a").alias("rep"))

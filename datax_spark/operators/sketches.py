@@ -131,3 +131,53 @@ def kmv_distinct(df: DataFrame, cols: list[str], k: int = 256,
         F.max("h").alias("kth_hash"),
         F.round(est, 2).alias("est_distinct"),
     )
+
+
+def cms_counts(df: DataFrame, cols: list[str], depth: int = 4,
+               width: int = 256) -> DataFrame:
+    """Deterministic count-min sketch: (d, bucket, cnt) counter rows over
+    ``depth`` independent hash rows of width ``width``.
+
+    Like the KMV/HLL sketches in this module, the hash family is
+    auditable — row d's bucket = pmod(xxhash64(cols..., d), width) — so
+    an independent oracle reproduces every counter exactly (Spark's own
+    count_min_sketch agg is an opaque binary). Point estimate for a key:
+    min over d of counter[d][h_d(key)] (``cms_estimate``); counters are
+    mergeable across partitions/tables by union + per-(d,bucket) sum —
+    the property that makes frequency monitoring of a 100 TB stream a
+    union of per-shard sketches.
+
+    Plan: one generator explode (×depth rows, each a 12-byte (d,bucket)
+    pair — never the input payload) → groupBy(d,bucket) count with
+    map-side combine, so the exchange carries at most depth×width rows
+    per upstream task regardless of input size.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}, {width}")
+    any_set = F.col(cols[0]).isNotNull()
+    for c in cols[1:]:
+        any_set = any_set | F.col(c).isNotNull()
+    pairs = F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(d)), F.lit(width))
+             .cast("int").alias("bucket"),
+        )
+        for d in range(depth)
+    ])
+    return (
+        df.filter(any_set)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(counters: list[tuple[int, int, int]], key_hashes: list[int],
+                 width: int = 256) -> int:
+    """Driver-side point estimate from a collected counter table.
+    ``key_hashes``: xxhash64(key, d) for d = 0..depth-1 (caller computes
+    with the same family, e.g. via one Spark row or oracle/xxh64)."""
+    table: dict[tuple[int, int], int] = {(d, b): c for d, b, c in counters}
+    # python's % on a negative hash is already non-negative == Spark pmod
+    return min(table.get((d, h % width), 0) for d, h in enumerate(key_hashes))

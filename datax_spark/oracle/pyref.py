@@ -753,3 +753,65 @@ def canonical_merge_rows(n: int = 200) -> list[tuple]:
             continue
         out.append((c, lsn, url, ts, val))
     return out
+
+
+# ----------------------------------------------- connected components
+
+def components_rows(sf_dir: str, k_shingle: int = 3, num_hashes: int = 32,
+                    bands: int = 8, threshold: float = 0.5) -> list[tuple]:
+    """(id, component) over the minhash near-dup pair graph — an
+    independent union-find (path-compressed) replay of the SAME pair set
+    minhash_pairs_rows computes (engine: operators/components.py::
+    connected_components via alternating large/small-star). Only nodes
+    appearing in at least one pair are emitted, matching the engine."""
+    pairs = minhash_pairs_rows(sf_dir, k_shingle=k_shingle,
+                               num_hashes=num_hashes, bands=bands,
+                               threshold=threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b, _est in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = {int(a) for a, b, _ in pairs} | {int(b) for a, b, _ in pairs}
+    return sorted((n, find(n)) for n in nodes)
+
+
+def component_survivors_rows(sf_dir: str, **kw) -> list[tuple]:
+    """(doc_id,) — docs that survive component-level near-dup collapse:
+    every doc except non-root members of a component (engine:
+    operators/components.py::component_dedup)."""
+    comp = dict(components_rows(sf_dir, **kw))
+    docs = _load_pandas(sf_dir, "documents")
+    out = []
+    for did in docs["doc_id"]:
+        did = int(did)
+        if comp.get(did, did) == did:
+            out.append((did,))
+    return sorted(out)
+
+
+# ------------------------------------------------------- count-min sketch
+
+def cms_word_rows(sf_dir: str, depth: int = 4, width: int = 64) -> list[tuple]:
+    """(d, bucket, cnt) — count-min counters over every word of every
+    document (engine: operators/sketches.py::cms_counts after a word
+    explode). bucket_d(word) = pmod(xxhash64(word, int d), width)."""
+    docs = _load_pandas(sf_dir, "documents")
+    counts: dict[tuple[int, int], int] = {}
+    for r in docs.itertuples():
+        for w in _words(r.text):
+            for d in range(depth):
+                b = spark_xxhash64(("str", w), ("int", d)) % width
+                counts[(d, b)] = counts.get((d, b), 0) + 1
+    return sorted((d, b, c) for (d, b), c in counts.items())

@@ -16,6 +16,17 @@ extension — the reference's codec switch collapses away. Writers map to
 ``df.write`` with mode semantics: DataX hdfswriter writeMode append /
 nonConflict / truncate (``hdfswriter/.../HdfsWriter.java:83-92``) →
 append / errorifexists / overwrite.
+
+Codec boundary (the exact line, so nobody guesses): Spark's Hadoop codec
+factory covers gzip, bzip2, deflate, lz4, zstd, and snappy-in-parquet/orc
+out of the box. The reference additionally dialects lzo, lzo_deflate,
+hadoop-snappy and framing-snappy for RAW text streams
+(``UnstructuredStorageReaderUtil.java:114-234``) — the LZO family is
+GPL-licensed and needs the hadoop-lzo jar + native libs installed
+cluster-side (then ``io.compression.codecs`` picks it up with NO change
+here), and the two snappy *framings* for raw text are nonstandard; both
+are declared out of scope for this engine. Parquet/ORC-embedded snappy —
+the case that matters at lake scale — works natively.
 """
 
 from __future__ import annotations

@@ -165,3 +165,34 @@ def test_txtfilewriter_emit_option_parity(spark, tmp_path):
     data = sorted(ln for ln in lines if ln != "ID;WORD")
     assert header  # the header list is written as the first line
     assert data == ["1;alpha", "2;\\N"]  # delimiter + nullFormat parity
+
+
+def test_lakemerger_canonicalize_key(spark, tmp_path):
+    """Config-layer crawl-dedup: canonicalizeKey=True merges two raw
+    spellings of one page into a single lake row keyed canonically."""
+    import datetime
+
+    from datax_spark.lake.table import LakeTable
+
+    src = str(tmp_path / "changes")
+    root = str(tmp_path / "table")
+    rows = [
+        (1, "I", "HTTP://Site.Example/a/", datetime.datetime(2024, 1, 1, 0, 0), "v1"),
+        (2, "U", "http://site.example/a#f", datetime.datetime(2024, 1, 1, 0, 1), "v2"),
+    ]
+    spark.createDataFrame(
+        rows, "lsn long, op string, url string, warc_ts timestamp, lang string"
+    ).write.parquet(src)
+    cfg = JobConfig.from_json(json.dumps({
+        "job": {"content": [{
+            "reader": {"name": "parquetreader", "parameter": {"path": src}},
+            "writer": {"name": "lakemerger", "parameter": {
+                "path": root, "keyColumn": "url", "numBuckets": 2,
+                "batchId": 0, "canonicalizeKey": True}},
+        }]}
+    }))
+    run_job(spark, cfg)
+    got = LakeTable(spark, root).load().read().collect()
+    assert len(got) == 1
+    assert got[0]["url"] == "http://site.example/a"
+    assert got[0]["lang"] == "v2"

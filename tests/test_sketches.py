@@ -47,3 +47,43 @@ def test_k_guard(spark):
     df = spark.range(0, 10).select(F.col("id").cast("string").alias("v"))
     with pytest.raises(ValueError, match="k must be >= 3"):
         kmv_kth_hash(df, ["v"], k=2)
+
+
+# ------------------------------------------------------- count-min sketch
+
+def test_cms_counters_and_estimate(spark):
+    """CMS counters are exact per (d, bucket); estimates upper-bound true
+    frequencies and are exact when no collision; mergeability: sketch of
+    a union == union+sum of sketches."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.sketches import cms_counts, cms_estimate
+    from datax_spark.oracle.xxh64 import spark_xxhash64
+
+    width, depth = 32, 4
+    vals = ["a"] * 50 + ["b"] * 20 + [f"w{i}" for i in range(30)]
+    df = spark.createDataFrame([(v,) for v in vals], "w string")
+    counters = [tuple(r) for r in cms_counts(df, ["w"], depth=depth, width=width).collect()]
+    # every counter row d sums to the total count
+    import collections
+    per_d = collections.Counter()
+    for d, _b, c in counters:
+        per_d[d] += c
+    assert per_d == {d: len(vals) for d in range(depth)}
+
+    def est(key):
+        hashes = [spark_xxhash64(("str", key), ("int", d)) for d in range(depth)]
+        return cms_estimate(counters, hashes, width=width)
+
+    assert est("a") >= 50 and est("b") >= 20  # never under-counts
+    assert est("absent-key") <= 50            # bounded by collisions
+
+    # mergeability: union+sum of two half-sketches == sketch of the union
+    d1 = spark.createDataFrame([(v,) for v in vals[:40]], "w string")
+    d2 = spark.createDataFrame([(v,) for v in vals[40:]], "w string")
+    merged = (
+        cms_counts(d1, ["w"], depth=depth, width=width)
+        .unionByName(cms_counts(d2, ["w"], depth=depth, width=width))
+        .groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(counters)
