@@ -827,6 +827,32 @@ def _q_shard_tail_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("url").alias("n_urls"))
 
 
+def _messy_url(i: int) -> str:
+    """One spelling of the shared messy-URL fixture (index ``i``; pair
+    (2j, 2j+1) spells the same logical page two ways). SINGLE engine-side
+    copy used by both url fixtures below; the oracle mirror is
+    oracle/pyref.py::_url_fixture — same formula, zero shared code."""
+    j = i // 2
+    scheme = "HTTPS" if j % 5 == 0 else "http"
+    host = f"site{j % 7}.example.com"
+    if i % 3 == 0:
+        host = host.upper()
+    path = f"/a/b{j % 11}" + "/" * (i % 3)
+    params = []
+    if j % 9 != 0:
+        params = [f"x={j % 13}", f"y={j % 4}"]
+        if j % 4 == 0:
+            params.append(f"utm_source=t{j % 5}")
+        if i % 2 == 0:
+            params.reverse()
+    url = f"{scheme}://{host}{path}"
+    if params:
+        url += "?" + "&".join(params)
+    if i % 6 == 0:
+        url += "#frag"
+    return url
+
+
 def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization groups (functions/urls.py) over a
     deterministic messy-URL fixture — scheme/host case, trailing
@@ -834,27 +860,7 @@ def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes with an independent pure-python canonicalizer."""
     from datax_spark.functions.urls import canonicalize_url
 
-    rows = []
-    for i in range(200):
-        j = i // 2  # pair (2j, 2j+1): same logical URL, different mess
-        scheme = "HTTPS" if j % 5 == 0 else "http"
-        host = f"site{j % 7}.example.com"
-        if i % 3 == 0:
-            host = host.upper()
-        path = f"/a/b{j % 11}" + "/" * (i % 3)
-        params = []
-        if j % 9 != 0:
-            params = [f"x={j % 13}", f"y={j % 4}"]
-            if j % 4 == 0:
-                params.append(f"utm_source=t{j % 5}")
-            if i % 2 == 0:
-                params.reverse()
-        url = f"{scheme}://{host}{path}"
-        if params:
-            url += "?" + "&".join(params)
-        if i % 6 == 0:
-            url += "#frag"
-        rows.append((i, url))
+    rows = [(i, _messy_url(i)) for i in range(200)]
     df = spark.createDataFrame(rows, "url_id long, url string")
     return (df.withColumn("canon", canonicalize_url(F.col("url")))
             .groupBy("canon")
@@ -940,34 +946,17 @@ def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- round-4 operator queries
 
 def _url_change_rows() -> list[tuple]:
-    """Messy-URL CDC fixture: the url_canonicalize fixture extended with
-    ops/timestamps/values — several raw spellings of one logical page
-    racing through I/U/D changes (mirrored by oracle/pyref.py::
-    url_change_fixture — same formula, zero shared code)."""
+    """Messy-URL CDC fixture: the shared ``_messy_url`` spellings
+    extended with ops/timestamps/values — several raw spellings of one
+    logical page racing through I/U/D changes (mirrored by
+    oracle/pyref.py::url_change_fixture — same formula, zero shared
+    code)."""
     rows = []
     for i in range(200):
-        j = i // 2
-        scheme = "HTTPS" if j % 5 == 0 else "http"
-        host = f"site{j % 7}.example.com"
-        if i % 3 == 0:
-            host = host.upper()
-        path = f"/a/b{j % 11}" + "/" * (i % 3)
-        params = []
-        if j % 9 != 0:
-            params = [f"x={j % 13}", f"y={j % 4}"]
-            if j % 4 == 0:
-                params.append(f"utm_source=t{j % 5}")
-            if i % 2 == 0:
-                params.reverse()
-        url = f"{scheme}://{host}{path}"
-        if params:
-            url += "?" + "&".join(params)
-        if i % 6 == 0:
-            url += "#frag"
         op = "D" if i % 17 == 0 else ("I" if i % 7 == 0 else "U")
         ts_min = (i * 37) % 100
         ts = f"2024-01-01 {ts_min // 60:02d}:{ts_min % 60:02d}:00"
-        rows.append((i, url, op, ts, float(i) * 0.5))
+        rows.append((i, _messy_url(i), op, ts, float(i) * 0.5))
     return rows
 
 

@@ -135,6 +135,7 @@ def run_stream(
             return df.withColumn(_key, canonicalize_url(F.col(_key)))
 
     seen = {"n": 0}
+    applied: list[dict] = []  # THIS run's non-skipped batch metrics, in order
     # Checkpoint epoch: Spark restarts batch ids at 0 when the checkpoint
     # is recreated, so the batch-id fence is only valid WITHIN one
     # checkpoint generation. A uuid marker file inside the checkpoint dir
@@ -172,6 +173,7 @@ def run_stream(
         )
         seen["n"] += 1
         if not metrics.get("skipped"):
+            applied.append(metrics)
             snap = None
             if compact_every and seen["n"] % compact_every == 0:
                 snap = table.load().compact_buckets(min_files_per_bucket=2)
@@ -223,10 +225,14 @@ def run_stream(
                 "source_format": source_format, "merge_mode": merge_mode,
                 "canonicalize_key": canonicalize_key,
             }
-            all_metrics = read_metrics(table_root)
+            # THIS run's applied work only: seen['n'] also counts
+            # fence-skipped batches, and read_metrics would surface a
+            # PREVIOUS run's record when this run applied nothing — a
+            # completion-audit hook must not be told work happened
             summary = {
-                "batches_applied": seen["n"],
-                "last_batch": all_metrics[-1] if all_metrics else None,
+                "batches_applied": len(applied),
+                "batches_seen": seen["n"],
+                "last_batch": applied[-1] if applied else None,
             }
             q.datax_hook_results = invoke_hooks(hooks, job_doc, summary)
         return q

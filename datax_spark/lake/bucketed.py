@@ -17,9 +17,15 @@ This module closes the gap from the query side:
 - ``bucket_local_agg``: per-key aggregation executed INSIDE each bucket
   via ``coalesce(1)`` + ``mapInPandas`` (Arrow-batched, streaming
   partial aggregation over batches — constant memory in rows-per-key),
-  then a union of the tiny per-bucket results. The physical plan is
-  Scan → Coalesce → MapInPandas per branch: NO Exchange anywhere
-  (pinned by tests/test_plans.py).
+  then a union of the tiny per-bucket results. With ``collapse=False``
+  (or a table carrying no MoR deltas) the physical plan is Scan →
+  Coalesce → MapInPandas per branch: NO Exchange anywhere (pinned by
+  tests/test_plans.py). With ``collapse=True`` on a table that DOES
+  carry deltas, ``table.read`` inserts its read-time LWW collapse — an
+  ``Exchange hashpartitioning(key)`` per branch — so the exchange-free
+  claim does NOT hold there: compact first (``compact_buckets``), use
+  ``collapse=False`` version analytics, or fall back to the single
+  exchange of ``table.read().groupBy(key)``.
 
 Scale notes (the honest trade-off, stated rather than hidden):
 
@@ -67,12 +73,17 @@ def read_bucketed(
     ``collapse=False`` exposes raw version rows (every MoR delta write),
     which is what version-level analytics want; ``collapse=True`` gives
     the live LWW row per key, with the collapse running bucket-locally.
+
+    Every per-bucket scan is PINNED to the snapshot enumerated here —
+    without that, a concurrent ``load()``/commit on the same LakeTable
+    instance mid-loop would mix table versions across branches.
     """
     snap = table.current_snapshot()
     present = sorted({e["bucket"] for e in table.manifest(snap)}) if snap else []
     if buckets is not None:
         want = set(buckets)
         present = [b for b in present if b in want]
+    snap_id = snap["snapshot_id"] if snap else None
     return [
         (
             b,
@@ -81,6 +92,7 @@ def read_bucketed(
                 include_deleted=include_deleted,
                 include_system=include_system,
                 collapse=collapse,
+                snapshot_id=snap_id,
             ),
         )
         for b in present
@@ -121,6 +133,13 @@ def bucket_local_agg(
             raise ValueError(f"{out}: unsupported agg fn {fn!r} (use {_AGG_FNS})")
         if fn != "count" and col is None:
             raise ValueError(f"{out}: {fn} needs a source column")
+        if fn == "count" and col is not None:
+            # pandas g.size() is count(*); silently treating ('count',
+            # col) as count(*) would diverge from SQL count(col)
+            # (non-null) semantics — reject rather than mislead
+            raise ValueError(
+                f"{out}: count is count(*) here — pass (count, None); "
+                "non-null column counts are not supported")
     key = table.key_col
     parts = read_bucketed(
         table, buckets=buckets, include_deleted=include_deleted,
@@ -142,6 +161,11 @@ def bucket_local_agg(
     spec = {out: (fn, col) for out, (fn, col) in aggs.items()}
 
     def agg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # SQL null semantics, which pandas defaults diverge from:
+        # sum/min/max of an all-null group must be NULL, not 0/NaN —
+        # min_count=1 makes pandas yield NaN there, and the final
+        # object-cast turns NaN into None so Arrow can emit NULL into
+        # integer-typed output columns instead of crashing.
         partials: list[pd.DataFrame] = []
         for pdf in batches:
             if len(pdf) == 0:
@@ -151,6 +175,8 @@ def bucket_local_agg(
             for out, (fn, col) in spec.items():
                 if fn == "count":
                     cols[out] = g.size()
+                elif fn == "sum":
+                    cols[out] = g[col].sum(min_count=1)
                 else:
                     cols[out] = getattr(g[col], fn)()
             partials.append(pd.DataFrame(cols))
@@ -161,8 +187,14 @@ def bucket_local_agg(
         refold = {}
         for out, (fn, _) in spec.items():
             # partial-count refolds by SUM; sum/min/max refold by themselves
-            refold[out] = g[out].sum() if fn in ("count", "sum") else getattr(g[out], fn)()
+            if fn == "count":
+                refold[out] = g[out].sum()
+            elif fn == "sum":
+                refold[out] = g[out].sum(min_count=1)
+            else:
+                refold[out] = getattr(g[out], fn)()
         res = pd.DataFrame(refold).reset_index().rename(columns={"index": key})
+        res = res.astype(object).where(pd.notnull(res), None)
         yield res
 
     outs = [

@@ -226,11 +226,17 @@ def merge_into(
         # dwarf keys (web pages); wrong when the per-batch key set
         # approaches driver memory (use "cow" there). Opt-in via
         # merge_mode until the interleaved A/B proves a default win.
+        # Winner election uses the RAW (ts, lsn) column values — the
+        # exact ordering lww_dedup applies — so the two modes cannot
+        # diverge on e.g. string-typed timestamps where a cast would
+        # reorder; the join is null-SAFE on lsn so a null-lsn winner is
+        # fetched rather than silently dropped (a null-rejecting
+        # equality would erase that key's change entirely).
         winner_ids = (
             changes.select(
                 F.col(key).alias("_wk"),
-                F.col(ts_col).cast("timestamp").alias("_wts"),
-                F.col(lsn_col).cast("bigint").alias("_wl"),
+                F.col(ts_col).alias("_wts"),
+                F.col(lsn_col).alias("_wl"),
             )
             .groupBy("_wk")
             .agg(F.max(F.struct("_wts", "_wl")).alias("_w"))
@@ -239,7 +245,7 @@ def merge_into(
         c = changes.join(
             F.broadcast(winner_ids),
             (F.col(key) == F.col("_wk"))
-            & (F.col(lsn_col).cast("bigint") == F.col("_wl")),
+            & F.col(lsn_col).eqNullSafe(F.col("_wl")),
         ).drop("_wk", "_wl")
     elif dedup:
         c = lww_dedup(changes, key, ts_col, lsn_col)
@@ -349,7 +355,14 @@ def merge_into(
     touched = {int(r["_cbucket"]) for r in stats_rows}
     batch_rows = sum(int(r["n"]) for r in stats_rows)
     lineage = {
-        int(r["_cbucket"]): {"rows": int(r["n"]), "lsn_min": int(r["lmin"]), "lsn_max": int(r["lmax"])}
+        # lmin/lmax are None when every lsn in the bucket's batch slice
+        # is NULL (SQL min/max skip nulls) — keep the lineage row, null
+        # range, rather than crashing the merge
+        int(r["_cbucket"]): {
+            "rows": int(r["n"]),
+            "lsn_min": int(r["lmin"]) if r["lmin"] is not None else None,
+            "lsn_max": int(r["lmax"]) if r["lmax"] is not None else None,
+        }
         for r in stats_rows
     }
 

@@ -283,14 +283,22 @@ _codecs.register_codec("video", b"DXV0", _dxv_features)
 def _decode_one(kind: str, payload: bytes, registry=None) -> dict:
     """Sniff the blob's magic against the codec registry and compute
     typed features. Raises ValueError on corrupt/unregistered payloads
-    (callers route to quarantine)."""
+    AND on kind/payload mismatches (a row labeled image carrying WAV
+    bytes previously failed in decode_bmp; magic dispatch must not turn
+    that into silently wrong-modality features) — callers route the
+    error to quarantine."""
     hit = _codecs.sniff_codec(payload, registry)
     if hit is None:
         raise ValueError(
             f"no registered codec for payload (kind hint {kind!r}, "
             f"head {bytes(payload[:8])!r})")
+    sniffed_kind, features = hit
+    if kind and sniffed_kind != kind:
+        raise ValueError(
+            f"payload magic says {sniffed_kind!r} but row kind is {kind!r} "
+            f"(head {bytes(payload[:8])!r}) — kind/payload mismatch")
     out = dict(_NULLED)
-    out.update(hit[1](payload))
+    out.update(features(payload))
     return out
 
 

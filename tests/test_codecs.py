@@ -216,3 +216,13 @@ def test_fake_jpeg_codec_one_registration_end_to_end(spark):
     # with the fake gone, the JPEG payload has NO codec → quarantine error
     with pytest.raises(ValueError, match="no registered codec"):
         _decode_one("image", b"\xff\xd8\xff\xe0junk")
+
+
+def test_kind_payload_mismatch_raises():
+    """A row labeled image carrying WAV bytes must raise (quarantine
+    route), not silently emit wrong-modality features."""
+    wav = codecs.encode_wav(_gen_audio(4), 8000)
+    with pytest.raises(ValueError, match="mismatch"):
+        _decode_one("image", wav)
+    # matching kind still decodes
+    assert _decode_one("audio", wav)["n_samples"] is not None

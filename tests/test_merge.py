@@ -271,3 +271,29 @@ def test_latemat_and_cow_byte_identical(spark, tmp_path):
     merge_into(t2, base, batch_id=2, merge_mode="cow-latemat",
                post_dedup_transform=tag)
     _assert_same(_state(t1), _state(t2))
+
+
+def test_latemat_null_lsn_rows_not_dropped(spark, tmp_path):
+    """Self-review regression: a key whose only change carries a NULL
+    lsn must survive latemat's winner join (null-safe equality), and
+    both modes must agree."""
+    rows = [
+        (None, "U", "k1", "2024-01-01 00:00:10", "a"),
+        (7,    "U", "k2", "2024-01-01 00:00:05", "b"),
+    ]
+    sch = T.StructType([
+        T.StructField("lsn", T.LongType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("ts_s", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ])
+    ch = spark.createDataFrame(rows, sch).select(
+        "lsn", "op", "url", F.col("ts_s").cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"), "lang")
+    t1 = _table(spark, str(tmp_path / "cow"))
+    t2 = _table(spark, str(tmp_path / "lm"))
+    merge_into(t1, ch, batch_id=0, merge_mode="cow")
+    merge_into(t2, ch, batch_id=0, merge_mode="cow-latemat")
+    _assert_same(_state(t1), _state(t2))
+    assert t2.read().count() == 2  # the null-lsn key survived
