@@ -1126,6 +1126,17 @@ def _q_hll_distinct_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(urls, ["url"], p=6)
 
 
+def _q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span dedup signal (operators/dedup.py::
+    repeated_span_stats, Lee et al. 2022): per-doc count/coverage of
+    5-word spans whose hash repeats corpus-wide. Oracle: pure-python
+    recompute of span hashes, corpus counts, and coverage unions."""
+    from datax_spark.operators.dedup import repeated_span_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return repeated_span_stats(docs, "text", "doc_id", k=5, min_count=2)
+
+
 def _q_sketch_cms_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min word-frequency sketch over the corpus (operators/
     sketches.py::cms_counts): auditable counters (Spark's own
@@ -1561,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_keep": _q_dedup_components_keep,
         "sketch_cms_words": _q_sketch_cms_words,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "dedup_repeated_spans": _q_dedup_repeated_spans,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q4_order_priority": _q4_order_priority,
         "q7_volume_shipping": _q7_volume_shipping,
@@ -2427,6 +2439,12 @@ def _pyref_oracles() -> dict[str, str]:
         "sketch_cms_words": pyref.values_sql(
             pyref.cms_word_rows(sf_dir, depth=4, width=64),
             [("d", "INTEGER"), ("bucket", "INTEGER"), ("cnt", "BIGINT")],
+        ),
+        "dedup_repeated_spans": pyref.values_sql(
+            pyref.repeated_span_rows(sf_dir, k=5, min_count=2),
+            [("doc_id", "BIGINT"), ("n_words", "INTEGER"),
+             ("n_dup_spans", "BIGINT"), ("n_covered_words", "BIGINT"),
+             ("dup_ratio", "DOUBLE")],
         ),
         "dedup_minhash_lsh": pyref.values_sql(
             pyref.minhash_pairs_rows(sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5),

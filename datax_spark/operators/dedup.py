@@ -271,3 +271,73 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document repeated-span statistics — the ExactSubstr dedup
+    signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): a k-word span whose hash occurs >=
+    ``min_count`` times CORPUS-WIDE (including repeats inside one
+    document) marks memorization-prone duplicated text. Output per doc:
+
+        (id, n_words, n_dup_spans, n_covered_words, dup_ratio)
+
+    where n_covered_words counts distinct word positions lying under any
+    flagged span (overlapping spans merge naturally via the distinct)
+    and dup_ratio = covered / n_words — the number a curation pipeline
+    thresholds on to drop or trim documents.
+
+    Plan (all JVM expressions): one rolling-hash projection →
+    posexplode (span-hash rows carry (id, pos, 8-byte hash) — never
+    text) → corpus count keyed by hash with map-side combine → semi
+    join back → position explode of FLAGGED spans only (×k blowup
+    proportional to duplicated volume, not corpus volume) → two doc
+    aggregates. Suffix-array ExactSubstr finds arbitrary-length repeats;
+    the fixed-k hashed variant is the standard scalable approximation
+    (a repeat of length L >= k is covered by its L-k+1 spans).
+    """
+    words = F.split(F.lower(normalize_ws(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base = df.select(F.col(id_col).alias("id"), n.alias("n_words"), grams.alias("_g"))
+    g = base.select("id", F.posexplode("_g").alias("pos", "gh"))
+    dup = (
+        g.groupBy("gh").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gh")
+    )
+    flagged = g.join(dup, "gh")
+    n_dup = flagged.groupBy("id").agg(F.count("*").alias("n_dup_spans"))
+    covered = (
+        flagged.select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wp"))
+        .distinct()
+        .groupBy("id")
+        .agg(F.count("*").alias("n_covered_words"))
+    )
+    return (
+        base.select("id", "n_words")
+        .join(n_dup, "id", "left")
+        .join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("n_covered_words", F.lit(0)).alias("n_covered_words"),
+            F.round(
+                F.coalesce("n_covered_words", F.lit(0)) / F.greatest(F.col("n_words"), F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

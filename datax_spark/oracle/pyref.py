@@ -815,3 +815,35 @@ def cms_word_rows(sf_dir: str, depth: int = 4, width: int = 64) -> list[tuple]:
                 b = spark_xxhash64(("str", w), ("int", d)) % width
                 counts[(d, b)] = counts.get((d, b), 0) + 1
     return sorted((d, b, c) for (d, b), c in counts.items())
+
+
+# -------------------------------------------------- repeated-span dedup
+
+def repeated_span_rows(sf_dir: str, k: int = 5, min_count: int = 2) -> list[tuple]:
+    """(doc_id, n_words, n_dup_spans, n_covered_words, dup_ratio) —
+    ExactSubstr-style repeated k-word-span statistics (engine:
+    operators/dedup.py::repeated_span_stats): span hash = xxhash64 of
+    the space-joined k words; flagged if its corpus-wide occurrence
+    count (within-doc repeats included) >= min_count; coverage = union
+    of flagged [i, i+k) position ranges."""
+    docs = _load_pandas(sf_dir, "documents")
+    counts: dict[int, int] = {}
+    per_doc: dict[int, tuple[int, list[int]]] = {}
+    for r in docs.itertuples():
+        w = _words(r.text)
+        hs = []
+        if len(w) >= k:
+            for i in range(len(w) - k + 1):
+                h = spark_xxhash64(("str", " ".join(w[i:i + k])))
+                hs.append(h)
+                counts[h] = counts.get(h, 0) + 1
+        per_doc[int(r.doc_id)] = (len(w), hs)
+    out = []
+    for did, (nw, hs) in sorted(per_doc.items()):
+        flagged = [i for i, h in enumerate(hs) if counts[h] >= min_count]
+        covered: set[int] = set()
+        for i in flagged:
+            covered.update(range(i, i + k))
+        ratio = _round_half_up(len(covered) / max(nw, 1), 6)
+        out.append((did, nw, len(flagged), len(covered), ratio))
+    return out

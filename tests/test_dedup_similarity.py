@@ -158,3 +158,38 @@ def test_kmeans_trainer_separates_clusters_and_lifts_recall(spark):
     r_seed = recall(None)
     assert r_trained == 1.0  # 1 probe suffices once centroids = clusters
     assert r_trained >= r_seed
+
+
+def test_repeated_span_stats_crafted(spark):
+    """Hand-checkable ExactSubstr-lite: a 3-word span shared by two docs
+    flags both; overlapping flagged spans merge in coverage; a unique
+    doc reports zeros; n<k docs report zero spans."""
+    from datax_spark.operators.dedup import repeated_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            # d0 and d1 share the run "a b c d" -> spans "a b c" and
+            # "b c d" both repeat; coverage in each = positions of the
+            # 4-word run
+            (0, "a b c d x y z"),
+            (1, "q a b c d r s"),
+            (2, "u v w u2 v2 w2 u3"),   # all spans unique
+            (3, "t1 t2"),               # fewer than k words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           repeated_span_stats(docs, "text", "doc_id", k=3, min_count=2).collect()}
+    assert out[0]["n_words"] == 7 and out[0]["n_dup_spans"] == 2
+    assert out[0]["n_covered_words"] == 4          # "a b c d": merged overlap
+    assert out[0]["dup_ratio"] == round(4 / 7, 6)
+    assert out[1]["n_dup_spans"] == 2 and out[1]["n_covered_words"] == 4
+    assert out[2]["n_dup_spans"] == 0 and out[2]["n_covered_words"] == 0
+    assert out[2]["dup_ratio"] == 0.0
+    assert out[3]["n_words"] == 2 and out[3]["n_dup_spans"] == 0
+
+    # within-ONE-doc repetition also counts toward min_count
+    solo = spark.createDataFrame([(9, "m n o p m n o")], "doc_id long, text string")
+    r = repeated_span_stats(solo, "text", "doc_id", k=3, min_count=2).collect()[0]
+    assert r["n_dup_spans"] == 2      # "m n o" at 0 and at 4
+    assert r["n_covered_words"] == 6  # positions 0-2 and 4-6
