@@ -293,32 +293,40 @@ def repeated_span_stats(
     and dup_ratio = covered / n_words — the number a curation pipeline
     thresholds on to drop or trim documents.
 
-    Plan (all JVM expressions): one rolling-hash projection →
-    posexplode (span-hash rows carry (id, pos, 8-byte hash) — never
-    text) → corpus count keyed by hash with map-side combine → semi
-    join back → position explode of FLAGGED spans only (×k blowup
-    proportional to duplicated volume, not corpus volume) → two doc
-    aggregates. Suffix-array ExactSubstr finds arbitrary-length repeats;
-    the fixed-k hashed variant is the standard scalable approximation
-    (a repeat of length L >= k is covered by its L-k+1 spans).
+    Plan (all JVM expressions): one rolling-hash projection (the SAME
+    ``shingles`` construction MinHash uses — one shared shingle
+    definition for the whole dedup family and its oracles) → posexplode
+    (span-hash rows carry (id, pos, 8-byte hash) — never text) → corpus
+    occurrence count as a WINDOW over the hash (one exchange, and the
+    span pass scans the corpus exactly once — a groupBy+semi-join pair
+    would re-run the tokenize+hash projection per branch) → position
+    explode of FLAGGED spans only (×k blowup proportional to duplicated
+    volume, not corpus volume) → two doc aggregates joined to a narrow
+    (id, n_words) projection. Suffix-array ExactSubstr finds
+    arbitrary-length repeats; the fixed-k hashed variant is the standard
+    scalable approximation (a repeat of length L >= k is covered by its
+    L-k+1 spans). Hot-span skew sits in the window partition exactly as
+    it would in the join probe; AQE covers it.
     """
-    words = F.split(F.lower(normalize_ws(F.col(text_col))), r"\s+")
-    n = F.size(words)
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.lower(normalize_ws(t))
+    # empty/null-safe word count (split("") yields [""], size 1 — the
+    # token_count guard, not a phantom word)
+    n = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, r"\s+")))
     grams = F.when(
         n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))),
-        ),
+        F.transform(shingles(t, k), lambda s: F.xxhash64(s)),
     ).otherwise(F.array().cast("array<bigint>"))
     base = df.select(F.col(id_col).alias("id"), n.alias("n_words"), grams.alias("_g"))
     g = base.select("id", F.posexplode("_g").alias("pos", "gh"))
-    dup = (
-        g.groupBy("gh").agg(F.count("*").alias("_c"))
+    flagged = (
+        g.withColumn("_c", F.count("*").over(Window.partitionBy("gh")))
         .filter(F.col("_c") >= min_count)
-        .select("gh")
+        .drop("_c")
     )
-    flagged = g.join(dup, "gh")
     n_dup = flagged.groupBy("id").agg(F.count("*").alias("n_dup_spans"))
     covered = (
         flagged.select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wp"))

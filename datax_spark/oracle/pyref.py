@@ -819,18 +819,20 @@ def cms_word_rows(sf_dir: str, depth: int = 4, width: int = 64) -> list[tuple]:
 
 # -------------------------------------------------- repeated-span dedup
 
-def repeated_span_rows(sf_dir: str, k: int = 5, min_count: int = 2) -> list[tuple]:
+def repeated_span_rows(sf_dir: str, k: int = 8, min_count: int = 2) -> list[tuple]:
     """(doc_id, n_words, n_dup_spans, n_covered_words, dup_ratio) —
     ExactSubstr-style repeated k-word-span statistics (engine:
-    operators/dedup.py::repeated_span_stats): span hash = xxhash64 of
-    the space-joined k words; flagged if its corpus-wide occurrence
-    count (within-doc repeats included) >= min_count; coverage = union
-    of flagged [i, i+k) position ranges."""
+    operators/dedup.py::repeated_span_stats — defaults kept IDENTICAL):
+    span hash = xxhash64 of the space-joined k words; flagged if its
+    corpus-wide occurrence count (within-doc repeats included) >=
+    min_count; coverage = union of flagged [i, i+k) position ranges.
+    Empty/null text counts 0 words (the engine's token_count guard)."""
     docs = _load_pandas(sf_dir, "documents")
     counts: dict[int, int] = {}
     per_doc: dict[int, tuple[int, list[int]]] = {}
     for r in docs.itertuples():
-        w = _words(r.text)
+        nrm = _normalize(r.text or "")
+        w = nrm.split(" ") if nrm else []
         hs = []
         if len(w) >= k:
             for i in range(len(w) - k + 1):
