@@ -1052,6 +1052,75 @@ def _q_bucket_local_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_fixture_tables(spark: SparkSession, sf_dir: str):
+    """Two CO-BUCKETED LakeTables derived from events (8 buckets each,
+    key user_id): per-user event stats, and a profile table covering
+    only user_id % 3 != 0 (so the inner join filters). Cached per
+    (machine, sf_dir) like the bucket fixture."""
+    from datax_spark.lake.merge import bulk_load
+    from datax_spark.lake.table import LakeTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), f"datax_join_fixture_{tag}")
+    if LakeTable.exists(os.path.join(root, "stats")):
+        return (LakeTable(spark, os.path.join(root, "stats")).load(),
+                LakeTable(spark, os.path.join(root, "profile")).load())
+    build = os.path.join(tempfile.gettempdir(),
+                         f"datax_join_fixture_{tag}.build{os.getpid()}")
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_ev"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_val"),
+    )
+    profile = (
+        ev.filter(F.col("user_id") % 3 != 0)
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("timestamp")).alias("first_ts"),
+             F.max("event_type").alias("last_type"))
+    )
+    s1 = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_ev", T.LongType(), True),
+        T.StructField("sum_val", T.DoubleType(), True),
+    ])
+    s2 = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("first_ts", T.TimestampType(), True),
+        T.StructField("last_type", T.StringType(), True),
+    ])
+    t1 = LakeTable.create(spark, os.path.join(build, "stats"), s1,
+                          key_col="user_id", num_buckets=8)
+    t2 = LakeTable.create(spark, os.path.join(build, "profile"), s2,
+                          key_col="user_id", num_buckets=8)
+    bulk_load(t1, stats)
+    bulk_load(t2, profile)
+    try:
+        os.rename(build, root)
+    except OSError:  # concurrent builder won
+        import shutil
+
+        shutil.rmtree(build, ignore_errors=True)
+    return (LakeTable(spark, os.path.join(root, "stats")).load(),
+            LakeTable(spark, os.path.join(root, "profile")).load())
+
+
+def _q_bucket_local_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join of two same-bucketed lake tables
+    (lake/bucketed.py::bucket_local_join): per-bucket Scan ∪ Scan →
+    Coalesce(1) → MapInPandas hash join, no shuffle of either side —
+    the bucketing payoff a plain l.join(r) forfeits. Oracle: plain SQL
+    join of the two aggregate definitions."""
+    from datax_spark.lake.bucketed import bucket_local_join
+
+    t1, t2 = _join_fixture_tables(spark, sf_dir)
+    out = bucket_local_join(t1, t2, how="inner")
+    return out.select(
+        "user_id", "n_ev", "sum_val",
+        F.date_format("first_ts", _TS_FMT_SPARK).alias("first_ts_s"),
+        "last_type",
+    )
+
+
 def _q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph-level dedup stats (functions/text.py::
     paragraph_dedup_stats) — the CCNet/RefinedWeb boilerplate-paragraph
@@ -1573,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_words": _q_sketch_cms_words,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "dedup_repeated_spans": _q_dedup_repeated_spans,
+        "bucket_local_join": _q_bucket_local_join,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q4_order_priority": _q4_order_priority,
         "q7_volume_shipping": _q7_volume_shipping,
@@ -2375,6 +2445,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE is_late = 1 AND n_late = 1 AND n_s > 1
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC LIMIT 50
+        """,
+        "bucket_local_join": f"""
+            WITH stats AS (
+              SELECT user_id, count(*) AS n_ev,
+                     CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+              FROM events GROUP BY user_id
+            ),
+            profile AS (
+              SELECT user_id, min(ts) AS first_ts, max(event_type) AS last_type
+              FROM events WHERE user_id % 3 <> 0 GROUP BY user_id
+            )
+            SELECT s.user_id, s.n_ev, s.sum_val,
+                   strftime(p.first_ts, '{_TS_FMT_DUCK}') AS first_ts_s,
+                   p.last_type
+            FROM stats s JOIN profile p ON s.user_id = p.user_id
         """,
         "doc_length_quantiles": """
             SELECT quantile_cont(n_chars, 0.1) AS p10,

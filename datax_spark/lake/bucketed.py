@@ -54,7 +54,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from datax_spark.lake.table import LakeTable
 
@@ -201,6 +201,114 @@ def bucket_local_agg(
         df_b.coalesce(1).mapInPandas(agg_partition, schema=out_schema)
         for _, df_b in parts
     ]
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def bucket_local_join(
+    left: LakeTable,
+    right: LakeTable,
+    right_suffix: str = "_r",
+    how: str = "inner",
+    buckets: list[int] | None = None,
+    collapse: bool = True,
+) -> DataFrame:
+    """Exchange-free equi-join of two CO-BUCKETED lake tables.
+
+    Both tables hash their key with the same ``pmod(xxhash64(key),
+    num_buckets)`` layout, so equal keys live in the same bucket id by
+    construction whenever (a) ``num_buckets`` match and (b) the key
+    column types match (xxhash64 of a long and of its string form
+    differ) — both are validated here. Each bucket pair then joins
+    LOCALLY: Scan(left bucket) ∪ Scan(right bucket) → Coalesce(1) →
+    MapInPandas(in-memory hash join) — no Exchange in any branch (the
+    plan the task-level "co-located joins via bucketing" story needs;
+    pinned in tests/test_plans.py). A plain ``l.join(r, key)`` costs a
+    full shuffle of BOTH tables because plain parquet scans declare no
+    output partitioning and the Python DataSource API cannot declare
+    one.
+
+    Memory bound: one bucket of each side materializes in pandas inside
+    a single task (the bucket sizing discipline — 1-4 GB buckets — is
+    the contract that makes this safe; pandas overhead ~2-3× on top).
+    ``how``: inner or left. Output columns: key, left payload columns,
+    right payload columns (collision-renamed with ``right_suffix``).
+    Same collapse caveat as ``bucket_local_agg``: ``collapse=True`` on a
+    side that carries MoR deltas inserts that side's LWW-collapse
+    exchange — compact first for the pure exchange-free shape.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if left.num_buckets != right.num_buckets:
+        raise ValueError(
+            f"co-located join needs equal bucket counts: "
+            f"{left.num_buckets} != {right.num_buckets} (rebucket one side)")
+    lkey, rkey = left.key_col, right.key_col
+    ltype = left.schema().spark_schema()[lkey].dataType
+    rtype = right.schema().spark_schema()[rkey].dataType
+    if ltype != rtype:
+        raise ValueError(
+            f"key types must match for bucket co-location: {ltype} != {rtype}")
+
+    lparts = dict(read_bucketed(left, buckets=buckets, collapse=collapse))
+    rparts = dict(read_bucketed(right, buckets=buckets, collapse=collapse))
+    want = sorted(set(lparts) | set(rparts)) if how == "left" else \
+        sorted(set(lparts) & set(rparts))
+    want = [b for b in want if b in lparts]  # left side drives row existence
+
+    lcols = [f.name for f in left.user_schema().fields if f.name != lkey]
+    rcols_raw = [f.name for f in right.user_schema().fields if f.name != rkey]
+    rename = {c: (c + right_suffix if c in lcols else c) for c in rcols_raw}
+    rcols = [rename[c] for c in rcols_raw]
+
+    out_schema = T.StructType(
+        [T.StructField(lkey, ltype, True)]
+        + [T.StructField(c, left.user_schema()[c].dataType, True) for c in lcols]
+        + [T.StructField(rename[c], right.user_schema()[c].dataType, True)
+           for c in rcols_raw]
+    )
+    flat = [f.name for f in out_schema.fields]
+
+    def join_bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ls, rs = [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ls.append(pdf[pdf["_side"] == 0])
+            rs.append(pdf[pdf["_side"] == 1])
+        l = pd.concat(ls) if ls else pd.DataFrame(columns=["_k", *lcols])
+        r = pd.concat(rs) if rs else pd.DataFrame(columns=["_k", *rcols])
+        merged = l[["_k", *lcols]].merge(
+            r[["_k", *rcols]], on="_k", how=how, sort=False)
+        merged = merged.rename(columns={"_k": lkey})[flat]
+        # left-join misses give NaN — emit NULL (object cast) so Arrow
+        # accepts them into integer/timestamp output fields
+        yield merged.astype(object).where(pd.notnull(merged), None)
+
+    empty = left.spark.createDataFrame([], out_schema)
+    outs = []
+    for b in want:
+        lb = lparts[b].select(
+            F.col(lkey).alias("_k"), F.lit(0).alias("_side"),
+            *[F.col(c) for c in lcols],
+            *[F.lit(None).cast(right.user_schema()[c].dataType).alias(rename[c])
+              for c in rcols_raw],
+        )
+        if b in rparts:
+            rb = rparts[b].select(
+                F.col(rkey).alias("_k"), F.lit(1).alias("_side"),
+                *[F.lit(None).cast(left.user_schema()[c].dataType).alias(c)
+                  for c in lcols],
+                *[F.col(c).alias(rename[c]) for c in rcols_raw],
+            )
+            u = lb.unionByName(rb)
+        else:
+            u = lb
+        outs.append(u.coalesce(1).mapInPandas(join_bucket, schema=out_schema))
+    if not outs:
+        return empty
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)

@@ -66,3 +66,64 @@ def test_read_bucketed_pins_the_enumerated_snapshot(spark, tmp_path):
     scores = sorted(r["score"] for _b, df in parts for r in df.collect())
     assert total == 40
     assert scores == list(range(40))  # pre-merge values, not id*100
+
+
+def _two_tables(spark, base, nb1=4, nb2=4, rkey_type=T.LongType()):
+    s1 = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("score", T.LongType(), True),
+    ])
+    s2 = T.StructType([
+        T.StructField("url", rkey_type if isinstance(rkey_type, T.StringType) else T.StringType(), False),
+        T.StructField("rank", T.LongType(), True),
+        T.StructField("score", T.DoubleType(), True),  # name-collides with left
+    ])
+    t1 = LakeTable.create(spark, f"{base}/l", s1, key_col="url", num_buckets=nb1)
+    t2 = LakeTable.create(spark, f"{base}/r", s2, key_col="url", num_buckets=nb2)
+    return t1, t2
+
+
+def test_bucket_local_join_inner_left_and_plan(spark, tmp_path):
+    from datax_spark.lake.bucketed import bucket_local_join
+
+    t1, t2 = _two_tables(spark, str(tmp_path))
+    bulk_load(t1, _rows(spark, 40, F.col("id")))
+    # right covers only even ids, with a colliding 'score' column
+    right = spark.range(0, 40, 2).select(
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") * 10).alias("rank"),
+        (F.col("id") / 2.0).alias("score"),
+    )
+    bulk_load(t2, right)
+
+    inner = bucket_local_join(t1, t2, how="inner")
+    assert "score_r" in inner.columns  # collision renamed
+    plan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {r["url"]: (r["score"], r["rank"], r["score_r"]) for r in inner.collect()}
+    assert len(got) == 20
+    assert got["https://x/4"] == (4, 40, 2.0)
+
+    left = bucket_local_join(t1, t2, how="left")
+    rows = {r["url"]: (r["rank"], r["score_r"]) for r in left.collect()}
+    assert len(rows) == 40
+    assert rows["https://x/5"] == (None, None)  # miss -> NULLs, no crash
+    assert rows["https://x/6"] == (60, 3.0)
+
+    # reference parity against the exchange-ful plain join
+    ref = (t1.read().join(
+        t2.read().withColumnRenamed("score", "score_r").withColumnRenamed("url", "_u"),
+        F.col("url") == F.col("_u"), "left").drop("_u"))
+    assert sorted(map(tuple, left.select(*ref.columns).collect())) == \
+        sorted(map(tuple, ref.collect()))
+
+
+def test_bucket_local_join_rejects_mismatched_layouts(spark, tmp_path):
+    from datax_spark.lake.bucketed import bucket_local_join
+
+    t1, t2 = _two_tables(spark, str(tmp_path), nb1=4, nb2=8)
+    with pytest.raises(ValueError, match="bucket counts"):
+        bucket_local_join(t1, t2)
+    with pytest.raises(ValueError, match="inner|left"):
+        bucket_local_join(t1, t1, how="cross")
