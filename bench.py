@@ -54,6 +54,9 @@ QUERY_NAMES = [
     "hll_distinct_urls",
     "doc_paragraph_dedup",
     "cdc_canonical_merge",
+    "bucket_local_join",
+    "dedup_components",      # the iterative star-contraction path
+    "dedup_repeated_spans",
 ]
 
 # dedup_exact regressed 0.42→0.98 s in BENCH_r03 with an UNCHANGED plan
