@@ -433,6 +433,36 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5)
 
 
+def _q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest: a NEW batch (doc_id % 5 == 4) collided against
+    the existing corpus LSH index — the 100 TB shape where the corpus
+    is indexed once and each ingest batch probes it (broadcast batch,
+    corpus index never shuffles). Oracle: pure-python minhash banding
+    (pyref.minhash_incremental_pairs_rows)."""
+    from datax_spark.operators.dedup import minhash_band_index, minhash_incremental_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    idx = minhash_band_index(corpus, "text", "doc_id", num_hashes=32, bands=8)
+    return minhash_incremental_pairs(
+        new, idx, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+def _q_dedup_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch survivors after near-dup collapse vs corpus + batch."""
+    from datax_spark.operators.dedup import minhash_band_index, minhash_incremental_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    idx = minhash_band_index(corpus, "text", "doc_id", num_hashes=32, bands=8)
+    return minhash_incremental_dedup(
+        new, idx, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+    ).select("doc_id")
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True connected components of the minhash near-dup graph
     (operators/components.py — alternating large/small-star, O(log n)
@@ -1618,6 +1648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Newest / previously driver-unverified queries go FIRST; the
     # long-stable TPC-H adaptations go last.
     return {
+        # --- round-4 late additions (driver-unverified) ---
+        "dedup_incremental_pairs": _q_dedup_incremental_pairs,
+        "dedup_incremental_keep": _q_dedup_incremental_keep,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -2534,6 +2567,18 @@ def _pyref_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": pyref.values_sql(
             pyref.minhash_pairs_rows(sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5),
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("jaccard_est", "DOUBLE")],
+        ),
+        "dedup_incremental_pairs": pyref.values_sql(
+            pyref.minhash_incremental_pairs_rows(
+                sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5, mod=5, rem=4
+            ),
+            [("new_id", "BIGINT"), ("corpus_id", "BIGINT"), ("jaccard_est", "DOUBLE")],
+        ),
+        "dedup_incremental_keep": pyref.values_sql(
+            pyref.minhash_incremental_keep_rows(
+                sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5, mod=5, rem=4
+            ),
+            [("doc_id", "BIGINT")],
         ),
         "dedup_simhash": pyref.values_sql(
             pyref.simhash_rows(sf_dir),

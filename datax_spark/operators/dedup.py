@@ -71,6 +71,107 @@ def minhash_signatures(
     )
 
 
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, sig, band, band_sig) — the persistable LSH index of a corpus.
+
+    One row per (doc, band); ``band_sig`` = xxhash64 over that band's
+    minhash slice. This is the table a 100 TB pipeline stores ONCE
+    (bucketed by (band, band_sig) in the lake) so that each new ingest
+    batch dedups against the corpus without ever re-pairing the corpus
+    with itself — see :func:`minhash_incremental_pairs`.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
+    return sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string")
+                                                   for r in range(rows)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard_est) — collide a NEW ingest batch
+    against an EXISTING corpus LSH index (:func:`minhash_band_index`
+    output, typically read back from the lake).
+
+    The 100 TB shape: the corpus index is huge but the per-batch side is
+    small, so with ``broadcast_new=True`` (default) the batch's banded
+    signatures broadcast and the corpus index NEVER shuffles — the join
+    is a map-side probe over the index scan, cost ∝ batch size, not
+    corpus size. Set ``broadcast_new=False`` for backfill-sized batches
+    and let AQE pick the strategy. ``num_hashes``/``bands``/``k_shingle``
+    must match the parameters the index was built with.
+    """
+    new_idx = minhash_band_index(new_df, text_col, id_col, k_shingle, num_hashes, bands)
+    a = new_idx.select(
+        F.col("id").alias("new_id"), F.col("sig").alias("sig_a"), "band", "band_sig"
+    )
+    if broadcast_new:
+        a = F.broadcast(a)
+    b = corpus_index.select(
+        F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b"), "band", "band_sig"
+    )
+    return (
+        a.join(b, ["band", "band_sig"])
+        .withColumn(
+            "jaccard_est",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+            / F.lit(num_hashes),
+        )
+        .select("new_id", "corpus_id", "jaccard_est")
+        .dropDuplicates(["new_id", "corpus_id"])
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+    )
+
+
+def minhash_incremental_dedup(
+    new_df: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Survivors of a new ingest batch after near-dup collapse against
+    (a) the existing corpus and (b) the batch itself.
+
+    A new doc is dropped if it has any corpus match at
+    ``jaccard_threshold``, or if it is the larger id of a within-batch
+    candidate pair (same single-hop rule as :func:`minhash_lsh_dedup`).
+    This is dedup-at-ingest: cost ∝ batch, never O(corpus²).
+    """
+    pairs_c = minhash_incremental_pairs(new_df, corpus_index, text_col, id_col, **kw)
+    dropped_c = pairs_c.select(F.col("new_id").alias("id"))
+    pairs_n = minhash_lsh_pairs(new_df, text_col, id_col, **kw)
+    dropped_n = pairs_n.select(F.col("id_b").alias("id"))
+    dropped = dropped_c.union(dropped_n).distinct()
+    return new_df.join(dropped, new_df[id_col] == dropped["id"], "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -86,21 +187,7 @@ def minhash_lsh_pairs(
     become candidates; estimate = fraction of matching minhashes. The
     band join shuffles only (band_idx, band_sig) keys.
     """
-    rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, k_shingle, num_hashes)
-    banded = sigs.select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1).cast("string")
-                                                   for r in range(rows)]))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_sig"),
-    )
+    banded = minhash_band_index(df, text_col, id_col, k_shingle, num_hashes, bands)
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "band_sig")
     b = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "band_sig")
     # jaccard_est is computed BEFORE the pair-dedup so the 32×8B signature

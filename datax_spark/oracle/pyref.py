@@ -274,6 +274,90 @@ def minhash_keep_rows(
     return [(int(d),) for d in docs["doc_id"] if int(d) not in dropped]
 
 
+def _minhash_index(sf_dir: str, k_shingle: int, num_hashes: int, bands: int):
+    """sigs dict + LSH buckets over ALL documents (shared by the
+    incremental-dedup oracles)."""
+    docs = _load_pandas(sf_dir, "documents")
+    rows_per_band = num_hashes // bands
+    sigs: dict[int, list[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for r in docs.itertuples():
+        bases = [spark_xxhash64(("str", s)) for s in _shingles(r.text, k_shingle)]
+        sig = [
+            min(spark_xxhash64(("long", h), ("int", j)) for h in bases)
+            for j in range(num_hashes)
+        ]
+        did = int(r.doc_id)
+        sigs[did] = sig
+        for b in range(bands):
+            band_key = ",".join(
+                str(sig[b * rows_per_band + rr]) for rr in range(rows_per_band)
+            )
+            buckets.setdefault((b, spark_xxhash64(("str", band_key))), []).append(did)
+    return sigs, buckets
+
+
+def minhash_incremental_pairs_rows(
+    sf_dir: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    mod: int = 5,
+    rem: int = 4,
+) -> list[tuple]:
+    """(new_id, corpus_id, jaccard_est) — new batch = doc_id % mod == rem
+    collided against the rest of the corpus (engine:
+    operators/dedup.py::minhash_incremental_pairs)."""
+    sigs, buckets = _minhash_index(sf_dir, k_shingle, num_hashes, bands)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        uniq = sorted(set(ids))
+        new = [d for d in uniq if d % mod == rem]
+        corp = [d for d in uniq if d % mod != rem]
+        for n in new:
+            for c in corp:
+                pairs.add((n, c))
+    out = []
+    for n, c in sorted(pairs):
+        est = sum(x == y for x, y in zip(sigs[n], sigs[c])) / num_hashes
+        if est >= threshold:
+            out.append((n, c, est))
+    return out
+
+
+def minhash_incremental_keep_rows(
+    sf_dir: str,
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    mod: int = 5,
+    rem: int = 4,
+) -> list[tuple]:
+    """(doc_id,) new-batch survivors: dropped if corpus-matched at
+    ``threshold``, or the larger id of a within-batch candidate pair
+    (engine: operators/dedup.py::minhash_incremental_dedup)."""
+    sigs, buckets = _minhash_index(sf_dir, k_shingle, num_hashes, bands)
+    new_ids = sorted(d for d in sigs if d % mod == rem)
+    dropped: set[int] = set()
+    for n, _c, _e in minhash_incremental_pairs_rows(
+        sf_dir, k_shingle, num_hashes, bands, threshold, mod, rem
+    ):
+        dropped.add(n)
+    within: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        uniq = sorted(set(d for d in ids if d % mod == rem))
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                within.add((uniq[i], uniq[j]))
+    for a, b in within:
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / num_hashes
+        if est >= threshold:
+            dropped.add(b)
+    return [(d,) for d in new_ids if d not in dropped]
+
+
 def ann_recall_rows(
     sf_dir: str,
     k: int = 10,

@@ -193,3 +193,69 @@ def test_repeated_span_stats_crafted(spark):
     r = repeated_span_stats(solo, "text", "doc_id", k=3, min_count=2).collect()[0]
     assert r["n_dup_spans"] == 2      # "m n o" at 0 and at 4
     assert r["n_covered_words"] == 6  # positions 0-2 and 4-6
+
+
+def test_incremental_dedup_vs_corpus_index(spark):
+    """Dedup-at-ingest: a new batch probes the EXISTING corpus index —
+    corpus dups drop the new doc, within-batch dups drop the larger id,
+    unique docs survive. Also pins that the new side broadcasts (the
+    corpus index must never shuffle at 100 TB batch≪corpus)."""
+    from datax_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_incremental_dedup,
+        minhash_incremental_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight again"),
+            (2, "completely different text about spark and data engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight again"),  # corpus dup
+            (11, "an entirely novel document about glaciers and moraines ok"),  # unique
+            (12, "fresh words by the river delta sediment carried downstream"), # unique, dup'd by 13
+            (13, "fresh words by the river delta sediment carried downstream"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_band_index(corpus, "text", "doc_id", num_hashes=32, bands=8)
+    pairs = minhash_incremental_pairs(
+        new, idx, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+    got = {(r["new_id"], r["corpus_id"]): r["jaccard_est"] for r in pairs.collect()}
+    assert got[(10, 1)] == 1.0
+    assert all(n != 11 and n != 12 for n, _ in got)
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    kept = sorted(
+        r["doc_id"]
+        for r in minhash_incremental_dedup(
+            new, idx, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.5
+        ).collect()
+    )
+    assert kept == [11, 12]  # 10 corpus-matched; 13 within-batch larger id
+
+
+def test_incremental_pairs_threshold_filters(spark):
+    """Band-colliding but low-estimate pairs are filtered by threshold."""
+    from datax_spark.operators.dedup import minhash_band_index, minhash_incremental_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    idx = minhash_band_index(corpus, "text", "doc_id", num_hashes=32, bands=8)
+    none = minhash_incremental_pairs(
+        new, idx, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=1.1
+    )
+    assert none.count() == 0
