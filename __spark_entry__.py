@@ -463,6 +463,91 @@ def _q_dedup_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def _q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/bloom.py): lineitem is
+    pruned AT THE SCAN by a bloom filter built from one selective month
+    of orders, then exact-joined — result byte-identical to the plain
+    semi join (the oracle), but only the might-match sliver of the big
+    side ever reaches the exchange."""
+    from datax_spark.operators.bloom import bloom_semi_join
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-03-01"))
+        & (F.col("o_orderdate") <= F.lit("1996-03-31"))
+    )
+    hit = bloom_semi_join(li, orders, "l_orderkey", "o_orderkey")
+    return hit.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+def _q_doc_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.py::normalize_unicode,
+    vectorized Arrow UDF over python's UCD tables) — document text
+    augmented with decomposed sequences (e+U+0301, A+U+030A) must
+    normalize to the precomposed forms; oracle is DuckDB nfc_normalize
+    (independent UCD implementation)."""
+    from datax_spark.functions.text import normalize_unicode
+
+    docs = load(spark, sf_dir, "documents")
+    # decomposed e+U+0301, precomposed é, decomposed A+U+030A
+    aug = F.concat(F.col("text"), F.lit("e\u0301\u00e9A\u030a"))
+    nfc = normalize_unicode(aug, "NFC")
+    return docs.select(
+        "doc_id",
+        F.length(aug).alias("raw_len"),
+        F.length(nfc).alias("nfc_len"),
+        F.md5(nfc).alias("nfc_md5"),
+    )
+
+
+def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist crawl curation (functions/urls.py::
+    blocklist_filter): a blocklist entry blocks its whole subdomain
+    tree; kept-per-host counts over a deterministic 400-URL fixture."""
+    from datax_spark.functions.urls import blocklist_filter, url_host
+
+    i = F.col("id")
+    host = F.when(
+        i % 5 == 0,
+        F.concat(F.lit("cdn"), (i % 4).cast("string"), F.lit(".ads.badnet.org")),
+    ).otherwise(
+        F.concat(
+            F.lit("sub"), (i % 3).cast("string"),
+            F.lit(".site"), (i % 11).cast("string"),
+            F.lit(".example.com"),
+        )
+    )
+    urls = spark.range(400).select(
+        F.concat(F.lit("http://"), host, F.lit("/p/"), i.cast("string")).alias("url")
+    )
+    blocklist = spark.createDataFrame(
+        [("site3.example.com",), ("ads.badnet.org",)], "domain string"
+    )
+    kept = blocklist_filter(urls, "url", blocklist)
+    return kept.groupBy(url_host(F.col("url")).alias("host")).agg(
+        F.count("*").alias("n_kept")
+    )
+
+
+def _q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement (operators/
+    sampling.py::weighted_sample — Efraimidis-Spirakis exponential race
+    derandomized by content hash): 25 docs drawn ∝ token count; oracle
+    replays the race in pure python (pyref.weighted_sample_rows)."""
+    from datax_spark.functions.text import token_count
+    from datax_spark.operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return weighted_sample(docs, "n_tokens", 25, ["doc_id"]).select(
+        "doc_id", "n_tokens"
+    )
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True connected components of the minhash near-dup graph
     (operators/components.py — alternating large/small-star, O(log n)
@@ -1651,6 +1736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 late additions (driver-unverified) ---
         "dedup_incremental_pairs": _q_dedup_incremental_pairs,
         "dedup_incremental_keep": _q_dedup_incremental_keep,
+        "bloom_semi_join": _q_bloom_semi_join,
+        "doc_nfc_normalize": _q_doc_nfc_normalize,
+        "url_blocklist": _q_url_blocklist,
+        "doc_weighted_sample": _q_doc_weighted_sample,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -1747,6 +1836,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     ch = _CH_SQL
     return {
+        "bloom_semi_join": """
+            SELECT l_returnflag, count(*) AS n_items,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+                  AND o_orderdate <= TIMESTAMP '1996-03-31 00:00:00')
+            GROUP BY l_returnflag
+        """,
+        "doc_nfc_normalize": """
+            SELECT doc_id,
+                   length(text || 'e' || chr(769) || chr(233) || 'A' || chr(778)) AS raw_len,
+                   length(nfc_normalize(text || 'e' || chr(769) || chr(233) || 'A' || chr(778))) AS nfc_len,
+                   md5(nfc_normalize(text || 'e' || chr(769) || chr(233) || 'A' || chr(778))) AS nfc_md5
+            FROM documents
+        """,
+        "url_blocklist": """
+            WITH u AS (
+                SELECT CASE WHEN i % 5 = 0
+                            THEN 'cdn' || (i % 4) || '.ads.badnet.org'
+                            ELSE 'sub' || (i % 3) || '.site' || (i % 11) || '.example.com'
+                       END AS host
+                FROM range(400) t(i)
+            ),
+            b(d) AS (VALUES ('site3.example.com'), ('ads.badnet.org'))
+            SELECT host, count(*) AS n_kept FROM u
+            WHERE NOT EXISTS (SELECT 1 FROM b WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
+            GROUP BY host
+        """,
         "cdc_lww_final_state": f"""
             WITH ch AS ({ch}),
             r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, lsn DESC) rn FROM ch)
@@ -2579,6 +2698,10 @@ def _pyref_oracles() -> dict[str, str]:
                 sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5, mod=5, rem=4
             ),
             [("doc_id", "BIGINT")],
+        ),
+        "doc_weighted_sample": pyref.values_sql(
+            pyref.weighted_sample_rows(sf_dir, k=25, salt=42),
+            [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")],
         ),
         "dedup_simhash": pyref.values_sql(
             pyref.simhash_rows(sf_dir),

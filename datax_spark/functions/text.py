@@ -255,3 +255,35 @@ def paragraph_dedup_stats(df, text_col: str, id_col: str,
             F.sum(F.when(F.col("_df") <= max_df, F.length("_p")).otherwise(F.lit(0).cast("int"))).alias("kept_chars"),
         )
     )
+
+
+def normalize_unicode(col, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column.
+
+    Web text mixes precomposed and decomposed codepoint sequences for
+    the SAME rendered text ("é" as U+00E9 vs "e"+U+0301); every dedup
+    key, fingerprint, or tokenizer upstream of training data must see
+    ONE spelling, so corpora normalize (typically NFC) before hashing.
+
+    Spark has no built-in normalizer, so this is the documented
+    vectorized-Arrow exception to this module's JVM-only rule: python's
+    ``unicodedata`` (UCD) via a pandas UDF — one ``str.normalize`` call
+    per Arrow batch, no per-row python loop. Zero-shuffle projection;
+    safe at scan scale, ~GB/s per core.
+
+    Oracle parity: DuckDB ``nfc_normalize`` (same UCD algorithm) — see
+    ``doc_nfc_normalize`` in ``__spark_entry__``.
+    """
+    from pyspark.sql import types as T
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(s):
+        # pandas .str.normalize delegates to unicodedata.normalize
+        return s.str.normalize(form)
+
+    # functionType-style pandas_udf (no type hints: pandas is imported
+    # lazily here, so 'pd.Series' annotations would not resolve)
+    norm_udf = F.pandas_udf(_norm, T.StringType())
+    return norm_udf(col)

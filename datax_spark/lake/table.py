@@ -426,6 +426,36 @@ class LakeTable:
             df = df.select([c for c in cur_names if c not in SYSTEM_COLS])
         return df
 
+    def key_bucket(self, key_value) -> int:
+        """The bucket a key lives in, computed WITHOUT Spark: the pure-
+        python xxh64 (bit-verified against the JVM in
+        tests/test_oracle_pyref.py) applied exactly as ``bucket_expr``
+        does. String and integral keys supported (the two key types the
+        writer's xxhash64 bucketing is defined over here)."""
+        from datax_spark.oracle.xxh64 import spark_xxhash64
+
+        if isinstance(key_value, str):
+            h = spark_xxhash64(("str", key_value))
+        elif isinstance(key_value, bool):
+            raise TypeError("boolean keys are not bucketable")
+        elif isinstance(key_value, int):
+            h = spark_xxhash64(("long", key_value))
+        else:
+            raise TypeError(f"unsupported key type {type(key_value).__name__}")
+        return int(h % self.num_buckets)
+
+    def lookup(self, key_value, snapshot_id: int | None = None) -> DataFrame:
+        """Point read of one key: manifest-prunes the scan to the key's
+        single bucket before Spark ever lists a file, then filters and
+        (for MoR buckets) collapses. At 100 TB with 65,536 buckets a
+        lookup touches ~1/65,536 of the table's files regardless of
+        total size — the serving-path complement of the bulk MERGE."""
+        b = self.key_bucket(key_value)
+        m = self._require_meta()
+        return self.read(buckets=[b], snapshot_id=snapshot_id).where(
+            F.col(m["key_col"]) == F.lit(key_value)
+        )
+
     def row_count(self) -> int:
         """Live rows. Manifest math when every file is a base file; with
         merge-on-read deltas the same key may appear in several files, so

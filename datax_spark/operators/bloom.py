@@ -1,0 +1,150 @@
+"""Bloom-filter semi-join pruning — the classic big-join reducer.
+
+At 100 TB the expensive part of ``fact JOIN dim`` on a selective dim is
+shuffling fact rows that can never match. A Bloom filter built from the
+dim side's keys (KBs–MBs for millions of keys) prunes those rows AT THE
+SCAN, before any exchange: only might-match rows (true matches + the
+fpp false-positive sliver) reach the shuffle, and the exact join then
+removes the false positives — the final result is byte-identical to the
+plain join, which is exactly what makes the operator oracle-checkable.
+
+Spark's own runtime bloom (``spark.sql.optimizer.runtime.bloomFilter``)
+fires only under cost heuristics and can't be applied across stages /
+persisted; this explicit operator is the deterministic, composable form
+(build once, prune many scans — e.g. every shard of an ingest).
+
+Design:
+- **build** is fully distributed: each key sets ``num_hashes`` bit
+  positions (xxhash64 double-hashing h1 + i·h2, the standard Kirsch-
+  Mitzenmacher construction); positions fold to (word, mask) pairs and a
+  ``bit_or`` hash-aggregate produces the filter's 64-bit words. The only
+  driver materialization is the finished filter (num_bits/8 bytes —
+  1 MiB for 8M bits), the same size any engine must broadcast.
+- **probe** computes the ``num_hashes`` positions JVM-side (codegen),
+  then a vectorized Arrow UDF tests bits against the numpy word array
+  from the closure (one gather + compare per hash, no per-row python).
+
+DataX has no cross-reader reduction at all (readers are independent
+channels, reference ``core/.../taskgroup/TaskGroupContainer.java``) —
+engine-added surface for the lake/join layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+__all__ = ["BloomFilter", "bloom_build", "bloom_prune", "bloom_semi_join"]
+
+
+class BloomFilter:
+    """Immutable bloom filter over xxhash64 double-hashing.
+
+    ``words`` is a numpy uint64 array of length ``num_bits // 64``.
+    """
+
+    def __init__(self, words: np.ndarray, num_bits: int, num_hashes: int):
+        assert num_bits % 64 == 0 and len(words) == num_bits // 64
+        self.words = words
+        self.num_bits = num_bits
+        self.num_hashes = num_hashes
+
+    @property
+    def size_bytes(self) -> int:
+        return self.num_bits // 8
+
+
+def _positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """Kirsch-Mitzenmacher: pos_i = (h1 + i*h2) mod num_bits, with h1/h2
+    independent xxhash64 draws folded non-negative. i*h2 under ANSI mode
+    must not overflow: h2 is reduced mod num_bits first (num_hashes ·
+    num_bits ≪ 2^63 for any sane filter size)."""
+    h1 = F.pmod(F.xxhash64(key, F.lit(0x5EED1)), F.lit(num_bits))
+    h2 = F.pmod(F.xxhash64(key, F.lit(0x5EED2)), F.lit(num_bits))
+    return [
+        F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)).cast("long")
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> BloomFilter:
+    """Build a BloomFilter from ``df[key_col]`` distributively.
+
+    One narrow pass: key → num_hashes bit positions → (word, mask) →
+    ``bit_or`` hash aggregate (map-side combine; the exchange carries at
+    most num_bits/64 rows regardless of input size). fpp ≈
+    (1 - e^{-k·n/m})^k — defaults give <1% at ~1M keys.
+    """
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("pos")
+    rows = (
+        df.where(key.isNotNull())
+        .select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            # shiftleft's python wrapper wants a literal int shift; use
+            # the SQL form for a column-valued shift amount
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    words = np.zeros(num_bits // 64, dtype=np.uint64)
+    for r in rows:
+        words[int(r["word"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return BloomFilter(words, num_bits, num_hashes)
+
+
+def bloom_might_contain(bf: BloomFilter, key: Column) -> Column:
+    """Boolean column: may ``key`` be in the filter? JVM computes the
+    ``num_hashes`` positions (codegen); a vectorized Arrow UDF does the
+    bit tests against the closure's numpy words (whole-batch gathers)."""
+    words = bf.words  # captured by closure; broadcast with the task
+
+    @F.pandas_udf(T.BooleanType())
+    def _test(pos_arr: pd.Series) -> pd.Series:
+        if len(pos_arr) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.vstack(pos_arr.to_numpy())            # (rows, num_hashes)
+        w = words[mat >> 6]                            # gather words
+        bits = (w >> (mat & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    return _test(F.array(*_positions(key, bf.num_bits, bf.num_hashes)))
+
+
+def bloom_prune(df: DataFrame, bf: BloomFilter, key_col: str) -> DataFrame:
+    """Rows of ``df`` that MIGHT match the filter (plus null-key rows
+    dropped — a null key cannot equi-join). Apply before the shuffle."""
+    key = F.col(key_col)
+    return df.where(key.isNotNull()).where(bloom_might_contain(bf, key))
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """``big LEFT SEMI JOIN small`` with a bloom prune before the join.
+
+    Result is EXACTLY the plain semi join (false positives are removed
+    by the join itself) — but only the might-match sliver of ``big``
+    reaches the exchange. The filter build reads ``small`` once.
+    """
+    bf = bloom_build(small, small_key, num_bits, num_hashes)
+    pruned = bloom_prune(big, bf, big_key)
+    return pruned.join(
+        small.select(F.col(small_key).alias("__bk")).distinct(),
+        pruned[big_key] == F.col("__bk"),
+        "left_semi",
+    )

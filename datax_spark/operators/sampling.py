@@ -87,3 +87,41 @@ def sample_stratified(
         F.lit(int(round(default_fraction * RESOLUTION))),
     )
     return df.filter(_bucket(cols, salt) < bound)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: list[str],
+    salt: int = 42,
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement of ``k`` rows —
+    Efraimidis-Spirakis exponential race, derandomized by content hash.
+
+    Each row draws u = hash-uniform(0,1] from its key columns and salt,
+    and scores ``-ln(u) / w``; the k SMALLEST scores win. Inclusion
+    probability is proportional to weight (e.g. token count for
+    length-weighted corpus subsampling), yet the draw is reproducible
+    across runs, engines, and partitionings — the same contract as
+    :func:`hash_split`.
+
+    Scale: zero-shuffle scoring projection + TakeOrdered (per-partition
+    top-k, driver merges k·n_partitions candidate rows — never a global
+    sort). Rows with NULL or non-positive weight are excluded (they have
+    no sampling mass).
+    """
+    # uniform draw in (0, 1]: the hash's top 63 bits via unsigned shift
+    # (overflow-free under ANSI — never F.abs, abs(Long.MIN_VALUE) throws)
+    u = (
+        (F.shiftrightunsigned(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(salt)), 1) + 1)
+        .cast("double") / F.lit(float(2 ** 63))
+    )
+    score = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_wscore", score)
+        .orderBy("_wscore")
+        .limit(k)
+        .drop("_wscore")
+    )

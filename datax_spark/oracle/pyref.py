@@ -358,6 +358,25 @@ def minhash_incremental_keep_rows(
     return [(d,) for d in new_ids if d not in dropped]
 
 
+def weighted_sample_rows(sf_dir: str, k: int = 25, salt: int = 42) -> list[tuple]:
+    """(doc_id, n_tokens) — Efraimidis-Spirakis race replayed in pure
+    python (engine: operators/sampling.py::weighted_sample): u = top-63
+    hash bits scaled to (0,1], score = -ln(u)/n_tokens, k smallest."""
+    import math
+
+    docs = _load_pandas(sf_dir, "documents")
+    scored = []
+    for r in docs.itertuples():
+        w = len(_words(r.text))
+        if w <= 0:
+            continue
+        h = spark_xxhash64(("long", int(r.doc_id)), ("int", salt))
+        u = (((h & 0xFFFFFFFFFFFFFFFF) >> 1) + 1) / float(2 ** 63)
+        scored.append((-math.log(u) / w, int(r.doc_id), w))
+    scored.sort()
+    return [(d, w) for _s, d, w in scored[:k]]
+
+
 def ann_recall_rows(
     sf_dir: str,
     k: int = 10,

@@ -59,6 +59,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
+        # zstd for shuffle/spill/broadcast IO: the merge pipeline is
+        # shuffle-byte-heavy (KB-scale page payloads), and zstd's better
+        # ratio trades spare CPU for scarce interconnect/DRAM bandwidth.
+        # Interleaved same-session A/B on the 3.2M-event bulk replay
+        # (8 arms, both orderings): zstd won 3/4 pairs, min 32.75 s vs
+        # lz4 34.15 s, medians 33.8 vs 37.0 s (see BENCH.md). Override
+        # via extra_conf for CPU-starved deployments.
+        .config("spark.io.compression.codec", os.environ.get("DATAX_SPARK_IO_CODEC", "zstd"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

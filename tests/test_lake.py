@@ -116,3 +116,62 @@ def test_expire_tombstones_and_vacuum(spark, tmp_table_root):
     assert removed > 0
     # table still reads fine after vacuum
     assert t.read().count() == 30
+
+
+def test_lookup_point_read_prunes_to_one_bucket(spark, tmp_table_root):
+    """lookup(key) computes the bucket python-side (bit-identical xxh64)
+    and scans ONLY that bucket's files; result equals the full-scan
+    filter, including through MoR deltas and tombstones."""
+    t = _mk(spark, tmp_table_root, nb=8)
+    bulk_load(t, _pages(spark, 200))
+
+    url = "https://x/57"
+    got = t.lookup(url).collect()
+    want = t.read().where(F.col("url") == url).collect()
+    assert got == want and len(got) == 1
+
+    # the pruned scan reads strictly fewer files than the full scan
+    full_files = set(t.read().inputFiles())
+    point_files = set(t.lookup(url).inputFiles())
+    assert point_files and point_files < full_files
+    assert len(point_files) <= len(full_files) / 4  # 1 of 8 buckets
+
+    # bucket math agrees with the JVM's bucket_expr for every key
+    from datax_spark.lake.table import bucket_expr
+
+    jvm = {
+        r["url"]: r["b"]
+        for r in _pages(spark, 200)
+        .select("url", bucket_expr("url", 8).alias("b"))
+        .collect()
+    }
+    assert all(t.key_bucket(u) == b for u, b in jvm.items())
+
+    # through a MoR delta + tombstone: lookup sees the LWW winner
+    import datetime as _dt
+
+    late = _dt.datetime(2099, 1, 1)  # beats every bulk-load warc_ts in LWW
+    upd = spark.createDataFrame(
+        [("https://x/57", late, "zz", 999_999, "U"),
+         ("https://x/58", late, "aa", 999_999, "D")],
+        "url string, warc_ts timestamp, lang string, lsn long, op string",
+    )
+    merge_into(t, upd, batch_id=1, merge_mode="mor")
+    assert t.lookup("https://x/57").collect()[0]["lang"] == "zz"
+    assert t.lookup("https://x/58").collect() == []
+
+    # integral-key table: python bucket math covers long keys too
+    import pyspark.sql.types as T2
+
+    t2 = LakeTable.create(
+        spark, tmp_table_root + "_int",
+        T2.StructType([T2.StructField("k", T2.LongType(), False),
+                       T2.StructField("v", T2.StringType(), True)]),
+        key_col="k", num_buckets=4,
+    )
+    bulk_load(t2, spark.range(50).select(F.col("id").alias("k"),
+                                         F.lit("x").alias("v")))
+    assert [r["k"] for r in t2.lookup(7).collect()] == [7]
+
+    with pytest.raises(TypeError):
+        t2.key_bucket(True)
