@@ -548,6 +548,56 @@ def _q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 interval derivation (cdc/scd2.py::scd2_snapshot): the
+    events-as-binlog change feed becomes one row per (key, version) with
+    [valid_from, valid_to) and is_current; deletes close intervals and
+    open nothing. Oracle: DuckDB lead() window over the same feed."""
+    from datax_spark.cdc.scd2 import scd2_snapshot
+
+    ch = _as_changes(load(spark, sf_dir, "events"))
+    return scd2_snapshot(ch, "user_id").select(
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.date_format("valid_from_ts", _TS_FMT_SPARK).alias("valid_from_ts"),
+        "valid_from_lsn",
+        F.date_format("valid_to_ts", _TS_FMT_SPARK).alias("valid_to_ts"),
+        "valid_to_lsn",
+        "is_current",
+    )
+
+
+def _q_cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) query through the INCREMENTAL Scd2Table
+    (cdc/scd2.py): 4 lsn-range batches delivered out of order with a
+    fold-materialize mid-way (logs deleted, history reconstructed from
+    the interval cache) — the answer must match the pure window SQL over
+    the full feed."""
+    import tempfile
+
+    from datax_spark.cdc.scd2 import Scd2Table
+
+    ch = _as_changes(load(spark, sf_dir, "events"))
+    maxl = ch.agg(F.max("lsn")).first()[0]
+    bounds = [0, maxl // 4, maxl // 2, 3 * maxl // 4, maxl + 1]
+    root = os.path.join(tempfile.mkdtemp(prefix="datax_spark_scd2_"), "t")
+    t = Scd2Table.create(spark, root, key_col="user_id", num_buckets=8)
+    for i, b in enumerate([2, 0, 3, 1]):
+        t.append_changes(
+            ch.where((F.col("lsn") >= bounds[b]) & (F.col("lsn") < bounds[b + 1])),
+            batch_id=b,
+        )
+        if i == 1:
+            t.materialize(fold=True)
+    return t.as_of("2024-01-16 00:00:00").select(
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "valid_from_lsn",
+    )
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True connected components of the minhash near-dup graph
     (operators/components.py — alternating large/small-star, O(log n)
@@ -1740,6 +1790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nfc_normalize": _q_doc_nfc_normalize,
         "url_blocklist": _q_url_blocklist,
         "doc_weighted_sample": _q_doc_weighted_sample,
+        "cdc_scd2_history": _q_cdc_scd2_history,
+        "cdc_scd2_asof": _q_cdc_scd2_asof,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -1865,6 +1917,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*) AS n_kept FROM u
             WHERE NOT EXISTS (SELECT 1 FROM b WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
             GROUP BY host
+        """,
+        "cdc_scd2_history": f"""
+            WITH ch AS ({ch}),
+            v AS (SELECT user_id, ts, lsn, op, event_type, value,
+                         lead(ts) OVER w AS vt, lead(lsn) OVER w AS vl
+                  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, lsn))
+            SELECT user_id, event_type, round(value, 4) AS value,
+                   strftime(ts, '{_TS_FMT_DUCK}') AS valid_from_ts,
+                   lsn AS valid_from_lsn,
+                   strftime(vt, '{_TS_FMT_DUCK}') AS valid_to_ts,
+                   vl AS valid_to_lsn,
+                   CAST(vt IS NULL AS INT) AS is_current
+            FROM v WHERE op <> 'D'
+        """,
+        "cdc_scd2_asof": f"""
+            WITH ch AS ({ch}),
+            v AS (SELECT user_id, ts, lsn, op, event_type, value,
+                         lead(ts) OVER w AS vt
+                  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, lsn))
+            SELECT user_id, event_type, round(value, 4) AS value,
+                   lsn AS valid_from_lsn
+            FROM v
+            WHERE op <> 'D' AND ts <= TIMESTAMP '2024-01-16 00:00:00'
+              AND (vt IS NULL OR vt > TIMESTAMP '2024-01-16 00:00:00')
         """,
         "cdc_lww_final_state": f"""
             WITH ch AS ({ch}),

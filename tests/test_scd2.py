@@ -1,0 +1,178 @@
+"""SCD Type 2 history: pure snapshot semantics + incremental Scd2Table
+convergence under arbitrary batch splits, delivery orders, fold points,
+and pathological delete sequences (D-first, D-after-D, late arrivals
+that re-slot between deletes)."""
+
+import datetime as dt
+import itertools
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from datax_spark.cdc.scd2 import Scd2Table, scd2_snapshot
+
+CH = "k string, ts timestamp, lsn long, op string, v string"
+
+
+def _t(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day)
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        [(k, _t(d), lsn, op, v) for (k, d, lsn, op, v) in rows], CH
+    )
+
+
+def _df_set(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+def _assert_same(a, b):
+    assert _df_set(a) == _df_set(b)
+
+
+def test_snapshot_intervals_exact(spark):
+    """I,U,U,D then re-insert: intervals left-closed right-open, delete
+    leaves a hole, re-insert opens the current version."""
+    ch = _feed(spark, [
+        ("a", 1, 10, "I", "v1"),
+        ("a", 3, 11, "U", "v2"),
+        ("a", 5, 12, "U", "v3"),
+        ("a", 7, 13, "D", None),
+        ("a", 9, 14, "I", "v4"),
+        ("b", 2, 20, "I", "w1"),
+    ])
+    got = {
+        (r["valid_from_lsn"]): (
+            r["k"], r["v"],
+            r["valid_to_lsn"], r["is_current"],
+        )
+        for r in scd2_snapshot(ch, "k").collect()
+    }
+    assert got == {
+        10: ("a", "v1", 11, 0),
+        11: ("a", "v2", 12, 0),
+        12: ("a", "v3", 13, 0),   # closed by the delete
+        14: ("a", "v4", None, 1), # re-opened after the delete
+        20: ("b", "w1", None, 1),
+    }
+    # the delete row itself produced no interval; hole at day 7..9
+    snap = scd2_snapshot(ch, "k")
+    at = lambda d: snap.where(
+        (F.col("valid_from_ts") <= F.lit(_t(d)))
+        & (F.col("valid_to_ts").isNull() | (F.col("valid_to_ts") > F.lit(_t(d))))
+    )
+    assert [r["v"] for r in at(6).where(F.col("k") == "a").collect()] == ["v3"]
+    assert at(8).where(F.col("k") == "a").count() == 0  # deleted
+    assert [r["v"] for r in at(9).where(F.col("k") == "a").collect()] == ["v4"]
+
+
+def test_snapshot_duplicate_delivery_collapses(spark):
+    ch = _feed(spark, [("a", 1, 10, "I", "v1"), ("a", 3, 11, "U", "v2")])
+    dup = ch.unionByName(ch)  # at-least-once delivery
+    _assert_same(scd2_snapshot(dup, "k"), scd2_snapshot(ch, "k"))
+
+
+ROWS = [
+    ("a", 1, 10, "I", "v1"),
+    ("a", 3, 11, "U", "v2"),
+    ("a", 7, 13, "D", None),
+    ("a", 9, 14, "I", "v4"),
+    ("b", 2, 20, "I", "w1"),
+    ("b", 4, 21, "D", None),
+    ("b", 6, 22, "D", None),   # D-after-D: dangling delete
+    ("c", 5, 30, "D", None),   # D-first: dangling delete, key never live
+    ("d", 8, 40, "I", "x1"),
+]
+LATE = [
+    ("b", 5, 23, "I", "w2"),   # re-slots between b's two deletes:
+                               # lsn22 D becomes a closer, w2 not current
+    ("a", 2, 15, "U", "v1b"),  # late update inside a's first interval
+    ("c", 4, 31, "I", "c1"),   # before c's dangling D: D now closes it
+]
+
+
+def _full_oracle(spark):
+    return scd2_snapshot(_feed(spark, ROWS + LATE), "k")
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_incremental_converges_with_late_arrivals(spark, tmp_path, fold):
+    """Append in 3 batches with the LATE rows delivered last; materialize
+    (optionally folding the log away) between every append. Final
+    history must equal the pure full-feed snapshot — including the
+    dangling-delete reslotting cases."""
+    t = Scd2Table.create(spark, str(tmp_path / "t"), key_col="k", num_buckets=4)
+    batches = [ROWS[:4], ROWS[4:], LATE]
+    for i, b in enumerate(batches):
+        assert t.append_changes(_feed(spark, b), batch_id=i)
+        t.materialize(fold=fold)
+        # history readable at every step
+        assert t.history().count() >= 0
+    _assert_same(t.history(), _full_oracle(spark))
+
+    # key 'b': w1 closed by D21, w2 (late) closed by the once-dangling D22
+    bm = {r["valid_from_lsn"]: r["valid_to_lsn"]
+          for r in t.history().where(F.col("k") == "b").collect()}
+    assert bm == {20: 21, 23: 22}
+    # key 'c': late insert closed by the previously-dangling D31? no —
+    # c1 at day 4 lsn 31 precedes D at day 5 lsn 30: D closes it
+    cm = {r["valid_from_lsn"]: r["valid_to_lsn"]
+          for r in t.history().where(F.col("k") == "c").collect()}
+    assert cm == {31: 30}
+
+
+def test_incremental_no_materialize_and_mixed(spark, tmp_path):
+    """Reads are correct with no cache at all and with a cache that
+    covers only a prefix (MoR fix-up path)."""
+    t = Scd2Table.create(spark, str(tmp_path / "t"), key_col="k")
+    t.append_changes(_feed(spark, ROWS[:5]), 0)
+    t.append_changes(_feed(spark, ROWS[5:]), 1)
+    _assert_same(t.history(), scd2_snapshot(_feed(spark, ROWS), "k"))
+    t.materialize(fold=False)          # cache covers 0,1; logs stay
+    t.append_changes(_feed(spark, LATE), 2)
+    _assert_same(t.history(), _full_oracle(spark))
+    # untouched key 'd' served from cache: still exactly one open row
+    d = t.history().where(F.col("k") == "d").collect()
+    assert len(d) == 1 and d[0]["is_current"] == 1
+
+
+def test_fence_and_fold_fence(spark, tmp_path):
+    t = Scd2Table.create(spark, str(tmp_path / "t"), key_col="k")
+    assert t.append_changes(_feed(spark, ROWS[:4]), 0)
+    assert not t.append_changes(_feed(spark, ROWS[:4]), 0)  # fence
+    t.materialize(fold=True)
+    # re-delivery of a FOLDED batch id is also fenced
+    assert not t.append_changes(_feed(spark, ROWS[:4]), 0)
+    n0 = t.history().count()
+    assert n0 == scd2_snapshot(_feed(spark, ROWS[:4]), "k").count()
+
+
+def test_batch_order_invariance(spark, tmp_path):
+    """Every delivery order of 3 batches converges to the same history."""
+    want = _df_set(_full_oracle(spark))
+    batches = [ROWS[:4], ROWS[4:], LATE]
+    for j, perm in enumerate(itertools.permutations(range(3))):
+        t = Scd2Table.create(spark, str(tmp_path / f"p{j}"), key_col="k")
+        for bid in perm:
+            t.append_changes(_feed(spark, batches[bid]), bid)
+        assert _df_set(t.history()) == want, f"order {perm}"
+
+
+def test_current_and_asof(spark, tmp_path):
+    t = Scd2Table.create(spark, str(tmp_path / "t"), key_col="k")
+    t.append_changes(_feed(spark, ROWS), 0)
+    t.materialize(fold=True)
+    t.append_changes(_feed(spark, LATE), 1)
+    cur = {r["k"]: r["v"] for r in t.current().collect()}
+    assert cur == {"a": "v4", "d": "x1"}  # b ends deleted, c ends deleted
+    asof = {r["k"]: r["v"] for r in t.as_of(_t(5)).collect()}
+    # day 5: a=v2 (lsn11 until day7), b=w2 (opened day5), c deleted at day5, d not yet
+    assert asof == {"a": "v2", "b": "w2"}
+
+
+def test_empty_table_raises(spark, tmp_path):
+    t = Scd2Table.create(spark, str(tmp_path / "t"), key_col="k")
+    with pytest.raises(ValueError):
+        t.history()
