@@ -79,6 +79,9 @@ _MANIFEST_SCHEMA_COLS = [
     ("path", "string"), ("bucket", "int64"), ("records", "int64"),
     ("deleted", "int64"), ("lsn_min", "int64"), ("lsn_max", "int64"),
     ("schema_id", "int64"), ("kind", "string"), ("bytes", "int64"),
+    # per-delta-file key bloom for point-read file skipping (None on
+    # base files and pre-bloom manifests — absent bloom means "read it")
+    ("key_bloom", "binary"), ("bloom_bits", "int64"), ("bloom_hashes", "int64"),
 ]
 
 
@@ -342,6 +345,7 @@ class LakeTable:
         include_system: bool = False,
         snapshot_id: int | None = None,
         collapse: bool = True,
+        _entry_filter=None,
     ) -> DataFrame:
         """Scan the table (optionally a bucket subset / time-travel snapshot).
 
@@ -364,6 +368,8 @@ class LakeTable:
         if buckets is not None:
             bset = set(buckets)
             entries = [e for e in entries if e["bucket"] in bset]
+        if _entry_filter is not None:
+            entries = [e for e in entries if _entry_filter(e)]
         cur = self.schema()
         cur_names = cur.field_names()
         if not entries:
@@ -446,15 +452,28 @@ class LakeTable:
 
     def lookup(self, key_value, snapshot_id: int | None = None) -> DataFrame:
         """Point read of one key: manifest-prunes the scan to the key's
-        single bucket before Spark ever lists a file, then filters and
-        (for MoR buckets) collapses. At 100 TB with 65,536 buckets a
-        lookup touches ~1/65,536 of the table's files regardless of
-        total size — the serving-path complement of the bulk MERGE."""
+        single bucket before Spark ever lists a file, then skips delta
+        files whose stored key bloom says the key cannot be there (pure
+        python probe against the manifest — no Spark job in the planning
+        step), then filters and (for MoR buckets) collapses. At 100 TB
+        with 65,536 buckets and N delta batches a lookup touches the
+        bucket's base file plus only the deltas that actually wrote the
+        key — not 1/65,536 × N files."""
+        from datax_spark.operators.bloom import might_contain_python
+
         b = self.key_bucket(key_value)
         m = self._require_meta()
-        return self.read(buckets=[b], snapshot_id=snapshot_id).where(
-            F.col(m["key_col"]) == F.lit(key_value)
-        )
+
+        def keep(e: dict) -> bool:
+            if e.get("kind") != "delta" or not e.get("key_bloom"):
+                return True
+            return might_contain_python(
+                e["key_bloom"], e["bloom_bits"], e["bloom_hashes"], key_value
+            )
+
+        return self.read(
+            buckets=[b], snapshot_id=snapshot_id, _entry_filter=keep
+        ).where(F.col(m["key_col"]) == F.lit(key_value))
 
     def row_count(self) -> int:
         """Live rows. Manifest math when every file is a base file; with
@@ -536,7 +555,36 @@ class LakeTable:
                         "bytes": os.path.getsize(p),
                     }
                 )
+        if kind == "delta":
+            self._attach_delta_blooms(out_dir, entries)
         return entries
+
+    def _attach_delta_blooms(self, out_dir: str, entries: list[dict]) -> None:
+        """Per-bucket key blooms for the delta files just written — the
+        manifest-level index `lookup()` uses to skip delta files that
+        cannot contain the probed key (base files are always read: they
+        ARE the bucket). Built in one distributed pass over the written
+        files (executor-side; the driver only receives the filters,
+        num_bits/8 bytes per bucket). When ``maxRecordsPerFile`` splits a
+        bucket's delta into several files they share the bucket's bloom —
+        a superset filter: less selective, never incorrect. Disable with
+        table property ``delta_bloom_bits=0``; an over-full bloom
+        saturates toward all-ones (pruning → 0, correctness unaffected)."""
+        from datax_spark.operators.bloom import bucket_blooms
+
+        props = self._require_meta()["properties"]
+        num_bits = int(props.get("delta_bloom_bits", 1 << 16) or 0)
+        if not num_bits or not entries:
+            return
+        num_hashes = int(props.get("delta_bloom_hashes", 5))
+        back = self.spark.read.parquet(out_dir).select(self.key_col, BUCKET_COL)
+        blooms = bucket_blooms(back, self.key_col, BUCKET_COL, num_bits, num_hashes)
+        for e in entries:
+            bl = blooms.get(e["bucket"])
+            if bl is not None:
+                e["key_bloom"] = bl
+                e["bloom_bits"] = num_bits
+                e["bloom_hashes"] = num_hashes
 
     def commit(
         self,

@@ -35,7 +35,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
-__all__ = ["BloomFilter", "bloom_build", "bloom_prune", "bloom_semi_join"]
+__all__ = [
+    "BloomFilter",
+    "bloom_build",
+    "bloom_prune",
+    "bloom_semi_join",
+    "bucket_blooms",
+    "might_contain_python",
+]
 
 
 class BloomFilter:
@@ -125,6 +132,72 @@ def bloom_prune(df: DataFrame, bf: BloomFilter, key_col: str) -> DataFrame:
     dropped — a null key cannot equi-join). Apply before the shuffle."""
     key = F.col(key_col)
     return df.where(key.isNotNull()).where(bloom_might_contain(bf, key))
+
+
+def bucket_blooms(
+    df: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> dict[int, bytes]:
+    """One bloom filter per bucket, built in a single distributed pass:
+    positions explode → (bucket, word, mask) → ``bit_or`` hash-aggregate
+    (map-side combine; the exchange carries ≤ buckets × num_bits/64
+    rows). Returns {bucket: words-as-little-endian-bytes} — the payload
+    the lake manifest stores per delta file for point-read file skipping.
+    An over-full bloom saturates toward all-ones: pruning degrades to
+    zero, correctness never does."""
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("pos")
+    rows = (
+        df.where(key.isNotNull())
+        .select(F.col(bucket_col).alias("_bb"), pos)
+        .select(
+            "_bb",
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias("mask"),
+        )
+        .groupBy("_bb", "word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    out: dict[int, np.ndarray] = {}
+    for r in rows:
+        b = int(r["_bb"])
+        if b not in out:
+            out[b] = np.zeros(num_bits // 64, dtype=np.uint64)
+        out[b][int(r["word"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return {b: w.tobytes() for b, w in out.items()}
+
+
+def might_contain_python(
+    words: bytes, num_bits: int, num_hashes: int, key_value
+) -> bool:
+    """Driver-side probe of a stored bloom, bit-identical to the JVM
+    build: the pure-python xxh64 (oracle/xxh64.py, bit-verified against
+    Spark) replays ``_positions`` exactly. String keys hash as StringType
+    columns, ints as LongType — the same mapping as
+    ``LakeTable.key_bucket``. Used by manifest-level file skipping where
+    no Spark job should run at all (a point lookup's planning step)."""
+    from datax_spark.oracle.xxh64 import spark_xxhash64
+
+    if isinstance(key_value, str):
+        pair = ("str", key_value)
+    elif isinstance(key_value, bool):
+        raise TypeError("boolean keys are not bloom-indexable")
+    elif isinstance(key_value, int):
+        pair = ("long", key_value)
+    else:
+        raise TypeError(f"unsupported key type {type(key_value).__name__}")
+    h1 = spark_xxhash64(pair, ("int", 0x5EED1)) % num_bits
+    h2 = spark_xxhash64(pair, ("int", 0x5EED2)) % num_bits
+    arr = np.frombuffer(words, dtype=np.uint64)
+    for i in range(num_hashes):
+        p = (h1 + i * h2) % num_bits
+        if not (int(arr[p >> 6]) >> (p & 63)) & 1:
+            return False
+    return True
 
 
 def bloom_semi_join(

@@ -175,3 +175,81 @@ def test_lookup_point_read_prunes_to_one_bucket(spark, tmp_table_root):
 
     with pytest.raises(TypeError):
         t2.key_bucket(True)
+
+
+def test_lookup_bloom_skips_unrelated_delta_files(spark, tmp_table_root):
+    """Each MoR delta file carries a manifest key bloom; a point lookup
+    probes the blooms PYTHON-side and scans only the base file plus the
+    deltas that actually wrote the key — not every delta in the bucket."""
+    import datetime as _dt
+
+    t = _mk(spark, tmp_table_root, nb=2)
+    bulk_load(t, _pages(spark, 60))
+
+    # 5 trickle MoR batches, each updating 3 DISTINCT keys
+    def _batch(i):
+        ts = _dt.datetime(2099, 1, 1 + i)
+        rows = [(f"https://x/{k}", ts, f"b{i}", 10_000 + i * 10 + j, "U")
+                for j, k in enumerate(range(i * 3, i * 3 + 3))]
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, lang string, lsn long, op string")
+
+    for i in range(5):
+        merge_into(t, _batch(i), batch_id=100 + i, merge_mode="mor")
+
+    deltas = [e for e in t.manifest() if e["kind"] == "delta"]
+    assert deltas and all(e.get("key_bloom") for e in deltas)
+    assert all(e["bloom_bits"] == 1 << 16 for e in deltas)
+
+    # key updated ONLY in batch 3: lookup must read strictly fewer delta
+    # files than live in its bucket (bloom fp rate at 3 keys/64Kbit ≈ 0)
+    key = "https://x/9"  # batch 3 covers keys 9,10,11
+    got = t.lookup(key).collect()
+    assert len(got) == 1 and got[0]["lang"] == "b3"
+    point_files = set(t.lookup(key).inputFiles())
+    b = t.key_bucket(key)
+    bucket_files = {e["path"].split("/")[-1] for e in t.manifest() if e["bucket"] == b}
+    bucket_deltas = [e for e in deltas if e["bucket"] == b]
+    point_deltas = sum(1 for f in point_files
+                       if any(f.endswith(e["path"].split("/")[-1]) for e in bucket_deltas))
+    assert len(bucket_deltas) >= 2, "fixture must spread batches over this bucket"
+    assert point_deltas == 1, (point_files, bucket_files)
+
+    # no false negatives anywhere: every key still resolves to its LWW row
+    expect = {r["url"]: r["lang"] for r in t.read().collect()}
+    for k in [0, 4, 9, 13, 14, 30, 59]:
+        u = f"https://x/{k}"
+        rows = t.lookup(u).collect()
+        assert len(rows) == 1 and rows[0]["lang"] == expect[u], u
+
+    # JVM-built bloom vs python probe parity on a fresh filter
+    from datax_spark.operators.bloom import bucket_blooms, might_contain_python
+
+    df = spark.range(500).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+        (F.col("id") % 3).cast("int").alias("bk"),
+    )
+    blooms = bucket_blooms(df, "key", "bk", num_bits=1 << 14)
+    for i in range(0, 500, 37):
+        bkt = i % 3
+        assert might_contain_python(blooms[bkt], 1 << 14, 5, f"k{i}")
+    fp = sum(1 for i in range(500, 1500)
+             if might_contain_python(blooms[i % 3], 1 << 14, 5, f"k{i}"))
+    assert fp < 100  # far under saturation at this sizing
+
+
+def test_delta_bloom_disable_property(spark, tmp_table_root):
+    import datetime as _dt
+
+    t = LakeTable.create(
+        spark, tmp_table_root, SCHEMA, key_col="url", num_buckets=2,
+        properties={"delta_bloom_bits": 0},
+    )
+    bulk_load(t, _pages(spark, 20))
+    upd = spark.createDataFrame(
+        [("https://x/3", _dt.datetime(2099, 1, 1), "zz", 999, "U")],
+        "url string, warc_ts timestamp, lang string, lsn long, op string")
+    merge_into(t, upd, batch_id=1, merge_mode="mor")
+    deltas = [e for e in t.manifest() if e["kind"] == "delta"]
+    assert deltas and all(not e.get("key_bloom") for e in deltas)
+    assert t.lookup("https://x/3").collect()[0]["lang"] == "zz"
