@@ -548,6 +548,18 @@ def _q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_heavy_hitters_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters with a CMS prefilter (operators/sketches.py::
+    heavy_hitters): parts ordered ≥45 times. The sketch pass bounds the
+    exchange to depth×width counter rows; only candidate keys reach the
+    exact-count exchange — yet the result is byte-identical to the naive
+    groupBy/HAVING, which is what the oracle checks."""
+    from datax_spark.operators.sketches import heavy_hitters
+
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    return heavy_hitters(li, ["l_partkey"], min_count=45, depth=4, width=4096)
+
+
 def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type 2 interval derivation (cdc/scd2.py::scd2_snapshot): the
     events-as-binlog change feed becomes one row per (key, version) with
@@ -1792,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": _q_doc_weighted_sample,
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
+        "heavy_hitters_partkey": _q_heavy_hitters_partkey,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -1917,6 +1930,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*) AS n_kept FROM u
             WHERE NOT EXISTS (SELECT 1 FROM b WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
             GROUP BY host
+        """,
+        "heavy_hitters_partkey": """
+            SELECT l_partkey, count(*) AS n
+            FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45
         """,
         "cdc_scd2_history": f"""
             WITH ch AS ({ch}),

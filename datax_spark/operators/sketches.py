@@ -181,3 +181,61 @@ def cms_estimate(counters: list[tuple[int, int, int]], key_hashes: list[int],
     table: dict[tuple[int, int], int] = {(d, b): c for d, b, c in counters}
     # python's % on a negative hash is already non-negative == Spark pmod
     return min(table.get((d, h % width), 0) for d, h in enumerate(key_hashes))
+
+
+def heavy_hitters(df: DataFrame, cols: list[str], min_count: int,
+                  depth: int = 4, width: int = 8192) -> DataFrame:
+    """EXACT keys with frequency ≥ ``min_count`` — CMS-prefiltered.
+
+    The naive ``groupBy(cols).count().where(n >= T)`` puts one combined
+    row per distinct key per upstream task on the exchange; over a
+    heavy-tailed key space (web n-grams: 10⁹+ distinct, almost all rare)
+    the exchange is dominated by tail keys that can never pass the
+    threshold. Two passes fix that:
+
+    1. :func:`cms_counts` (one pass; exchange ≤ depth×width counter rows
+       per task) → collected to a depth×width numpy matrix (driver holds
+       KBs, broadcast back in the UDF closure).
+    2. rows whose key's CMS estimate clears ``min_count`` survive —
+       CMS only OVERcounts, so survivors ⊇ true heavy hitters — then an
+       exact count over survivors confirms. The pass-2 exchange carries
+       only candidate keys (true heavies + collision lottery winners).
+
+    Result is byte-identical to the naive plan — which is exactly what
+    the SQL oracle checks. Width trades driver memory for candidate
+    purity: collisions at width ≪ distinct-keys admit extra candidates
+    (cost), never wrong output. Hash positions are computed JVM-side;
+    the matrix gather is one Arrow-batched numpy min — no per-row python.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as _T
+
+    counters = cms_counts(df, cols, depth, width).collect()
+    mat = np.zeros((depth, width), dtype=np.int64)
+    for r in counters:
+        mat[int(r["d"]), int(r["bucket"])] = int(r["cnt"])
+    thresh = int(min_count)
+
+    def _ge(pos_arr):
+        if len(pos_arr) == 0:
+            return pd.Series([], dtype=bool)
+        p = np.vstack(pos_arr.to_numpy())               # (rows, depth)
+        est = mat[np.arange(p.shape[1])[None, :], p].min(axis=1)
+        return pd.Series(est >= thresh)
+
+    ge_udf = F.pandas_udf(_ge, _T.BooleanType())
+    pos = F.array(*[
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols], F.lit(d)), F.lit(width)).cast("int")
+        for d in range(depth)
+    ])
+    any_set = F.col(cols[0]).isNotNull()
+    for c in cols[1:]:
+        any_set = any_set | F.col(c).isNotNull()
+    return (
+        df.filter(any_set)
+        .where(ge_udf(pos))
+        .groupBy(*cols)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= thresh)
+    )

@@ -87,3 +87,41 @@ def test_cms_counters_and_estimate(spark):
         .groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(counters)
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    """CMS-prefiltered heavy hitters are byte-identical to the naive
+    groupBy/HAVING — even at a deliberately collision-heavy width where
+    nearly every key becomes a candidate."""
+    from datax_spark.operators.sketches import heavy_hitters
+    from pyspark.sql import functions as F
+
+    # zipf-ish: key k appears ~ 2000/k times, 300 distinct keys
+    df = spark.range(20_000).select(
+        (F.floor(2000 / (F.pmod(F.xxhash64("id"), 300) + 1))).alias("k")
+    )
+    want = sorted(
+        (r["k"], r["n"])
+        for r in df.groupBy("k").agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 100).collect()
+    )
+    for width in (4096, 64):  # clean and collision-heavy
+        got = sorted(
+            (r["k"], r["n"])
+            for r in heavy_hitters(df, ["k"], 100, depth=4, width=width).collect()
+        )
+        assert got == want, f"width={width}"
+    assert len(want) > 3
+
+
+def test_heavy_hitters_multi_col_and_nulls(spark):
+    from datax_spark.operators.sketches import heavy_hitters
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 60 + [("a", 2)] * 10 + [("b", 1)] * 55 + [(None, None)] * 40,
+        "x string, y int",
+    )
+    got = {(r["x"], r["y"]): r["n"]
+           for r in heavy_hitters(df, ["x", "y"], 50).collect()}
+    assert got == {("a", 1): 60, ("b", 1): 55}  # all-null keys carry no mass
