@@ -57,6 +57,10 @@ QUERY_NAMES = [
     "bucket_local_join",
     "dedup_components",      # the iterative star-contraction path
     "dedup_repeated_spans",
+    # round-4 late additions
+    "cdc_scd2_history",
+    "heavy_hitters_partkey",
+    "bloom_semi_join",
 ]
 
 # dedup_exact regressed 0.42→0.98 s in BENCH_r03 with an UNCHANGED plan

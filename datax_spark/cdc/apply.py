@@ -95,9 +95,21 @@ def apply_changes(
         fence_epoch=fence_epoch,
         merge_mode=merge_mode,
     )
-    metrics = obs.get
-    dirty_count = int(metrics.get("dirty", 0) or 0)
-    total = int(metrics.get("total", 0) or 0)
+    try:
+        metrics = obs.get
+        dirty_count = int(metrics.get("dirty", 0) or 0)
+        total = int(metrics.get("total", 0) or 0)
+    except Exception:
+        # The CollectMetrics node can be optimized out of every executed
+        # plan when the batch is a driver-side LocalRelation whose rows
+        # are ALL statically dirty: constant folding evaluates the dirty
+        # filter at plan time, PropagateEmptyRelation collapses the
+        # subtree, and the observation never fires (file/stream batches
+        # cannot fold, so the streaming path is unaffected). Fall back to
+        # eager counts — this branch only triggers on tiny local batches
+        # (e.g. quarantine replays), where two extra counts are free.
+        dirty_count = int(tagged.filter(F.col("_dirty_reason").isNotNull()).count())
+        total = int(batch.count())
     if dirty_count:
         if quarantine_dir:
             write_quarantine(tagged, quarantine_dir, batch_id)

@@ -87,6 +87,8 @@ def run_stream(
     max_rows_per_trigger: int | None = None,
     canonicalize_key: bool = False,
     hooks: list | None = None,
+    scd2_dir: str | None = None,
+    scd2_materialize_every: int | None = None,
 ):
     """Tail parquet change files in ``source_dir`` into the lake table.
 
@@ -111,6 +113,15 @@ def run_stream(
     (ts, lsn) across the canonical group). The raw spelling survives only
     if the caller projects it into a non-key column upstream.
 
+    ``scd2_dir``: dual-sink mode — every micro-batch's CLEAN changes
+    also append to an SCD Type 2 history table (``cdc/scd2.py``) at this
+    path, created on first use with the lake's key column: one stream
+    maintains the current+history table pair. The scd2 fence key embeds
+    the checkpoint epoch (batch ids restart at 0 under a fresh
+    checkpoint; duplicate delivery across epochs is absorbed by the
+    history's (key, lsn) dedupe). ``scd2_materialize_every=N``
+    fold-materializes the history every N batches (the compaction knob).
+
     ``hooks``: job-completion callables ``(job_config, metrics) -> None``
     invoked once after the bounded replay / stop finishes (per-hook error
     isolation — the JobContainer.invokeHooks analog, see
@@ -121,6 +132,23 @@ def run_stream(
     completion to hook.
     """
     table = LakeTable(spark, table_root).load()
+    scd2 = None
+    if scd2_dir is not None:
+        # dual sink: the SAME clean change batches also append to an SCD2
+        # history table — the classic CDC current+history pair. The scd2
+        # fence key embeds the checkpoint epoch (Spark restarts batch ids
+        # at 0 under a fresh checkpoint; a bare-int fence would silently
+        # drop the new generation's data, while duplicate-delivery across
+        # epochs is absorbed by scd2_snapshot's (key, lsn) dedupe).
+        from datax_spark.cdc.scd2 import Scd2Table
+
+        if os.path.exists(os.path.join(scd2_dir, "_meta.json")):
+            scd2 = Scd2Table(spark, scd2_dir)
+        else:
+            scd2 = Scd2Table.create(
+                spark, scd2_dir, key_col=table.key_col,
+                ts_col=ts_col, lsn_col=lsn_col,
+            )
     if canonicalize_key:
         from pyspark.sql import functions as F
 
@@ -171,6 +199,18 @@ def run_stream(
             fence_epoch=fence_epoch,
             merge_mode=merge_mode,
         )
+        if scd2 is not None:
+            # history sink sees the same CLEAN rows the merge applied
+            # (dirty ops/null keys would corrupt interval derivation);
+            # its own epoch-scoped fence makes the append idempotent
+            from datax_spark.quarantine import split_dirty_lazy
+
+            clean, _obs, _tagged = split_dirty_lazy(
+                batch_df, key_col=table.key_col, op_col="op", lsn_col=lsn_col
+            )
+            scd2.append_changes(clean, f"{fence_epoch[:8]}-{batch_id:08d}")
+            if scd2_materialize_every and (batch_id + 1) % scd2_materialize_every == 0:
+                scd2.materialize(fold=True)
         seen["n"] += 1
         if not metrics.get("skipped"):
             applied.append(metrics)

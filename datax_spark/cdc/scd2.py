@@ -183,13 +183,19 @@ class Scd2Table:
         return t
 
     # ---------------------------------------------------------- append
-    def append_changes(self, changes: DataFrame, batch_id: int) -> bool:
-        """Fenced append of one change batch. Returns False if the batch
-        id was already committed (fence no-op)."""
+    @staticmethod
+    def _bdir(batch_id) -> str:
+        # int ids zero-pad for stable sort; string ids (e.g. the stream
+        # pipeline's "<epoch>-<batch>" keys) pass through verbatim
+        return f"b{batch_id:08d}" if isinstance(batch_id, int) else f"b{batch_id}"
+
+    def append_changes(self, changes: DataFrame, batch_id) -> bool:
+        """Fenced append of one change batch (int or string id). Returns
+        False if the batch id was already committed (fence no-op)."""
         m = self._meta()
         if batch_id in m["applied"] or batch_id in m["folded"]:
             return False
-        path = os.path.join(self.root, "log", f"b{batch_id:08d}")
+        path = os.path.join(self.root, "log", self._bdir(batch_id))
         changes.withColumn(
             "_bucket", bucket_expr(m["key_col"], m["num_buckets"])
         ).write.mode("overwrite").parquet(path)
@@ -201,7 +207,7 @@ class Scd2Table:
 
     # ---------------------------------------------------------- internals
     def _log_df(self, batch_ids: list[int]) -> DataFrame | None:
-        paths = [os.path.join(self.root, "log", f"b{b:08d}") for b in batch_ids]
+        paths = [os.path.join(self.root, "log", self._bdir(b)) for b in batch_ids]
         if not paths:
             return None
         return self.spark.read.parquet(*paths).drop("_bucket")
@@ -353,7 +359,7 @@ class Scd2Table:
         if fold:
             for b in covered:
                 shutil.rmtree(
-                    os.path.join(self.root, "log", f"b{b:08d}"), ignore_errors=True
+                    os.path.join(self.root, "log", self._bdir(b)), ignore_errors=True
                 )
         if prev_ver is not None:
             shutil.rmtree(

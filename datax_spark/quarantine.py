@@ -169,3 +169,63 @@ def salvage_casts(
         ]
     )
     return typed, dirty
+
+
+def replay_quarantine(
+    spark,
+    quarantine_dir: str,
+    table,
+    fix,
+    ts_col: str = "warc_ts",
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    batch_id: int | None = None,
+    archive: bool = True,
+    **apply_kwargs,
+):
+    """Dead-letter replay: read the quarantine table, run the caller's
+    ``fix(df) -> df`` repair (e.g. default a null key, map a vendor op
+    code to I/U/D), and re-apply the repaired rows through the normal
+    validate → quarantine → fenced MERGE path (``cdc.apply
+    .apply_changes``). Rows the fix did NOT cure are re-quarantined by
+    that same path, so the repair loop is safe to run repeatedly.
+
+    The reference's ErrorRecordChecker stops at *collecting* dirty
+    records (``core/.../util/ErrorRecordChecker.java``; taskPluginCollector
+    writes them aside) — re-ingest after repair is the operational step
+    every pipeline ends up scripting, so it is first-class here.
+
+    ``archive=True`` moves the consumed quarantine files into
+    ``<quarantine_dir>/_replayed-<batch_id>/`` after a successful apply —
+    at-most-once consumption of the dead letters (the apply itself is
+    fenced by ``batch_id``, so a crash between apply and archive
+    re-applies idempotently). Returns the apply metrics dict, or None if
+    the quarantine is empty.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from datax_spark.cdc.apply import apply_changes
+
+    files = sorted(_glob.glob(_os.path.join(quarantine_dir, "*.parquet")))
+    if not files:
+        return None
+    dead = spark.read.parquet(*files)
+    repaired = fix(dead.drop("_dirty_reason", "_batch_id"))
+    metrics = apply_changes(
+        table,
+        repaired,
+        batch_id=batch_id,
+        ts_col=ts_col,
+        lsn_col=lsn_col,
+        op_col=op_col,
+        quarantine_dir=quarantine_dir,
+        **apply_kwargs,
+    )
+    if archive:
+        dest = _os.path.join(quarantine_dir, f"_replayed-{batch_id}")
+        _os.makedirs(dest, exist_ok=True)
+        for f in files:
+            _shutil.move(f, _os.path.join(dest, _os.path.basename(f)))
+    return metrics

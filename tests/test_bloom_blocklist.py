@@ -113,3 +113,16 @@ def test_normalize_unicode_nfc_and_nfkc(spark):
 
     with pytest.raises(ValueError):
         normalize_unicode(F.col("s"), "NFX")
+
+
+def test_weighted_sample_plan_is_takeordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    top-k, driver merges k candidates per partition) — never a global
+    Sort+Exchange, which would be the 100 TB scale-killer."""
+    from datax_spark.operators.sampling import weighted_sample
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.pmod(F.col("id"), 7) + 1).alias("w"))
+    plan = weighted_sample(df, "w", 10, ["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan

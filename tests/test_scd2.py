@@ -176,3 +176,70 @@ def test_empty_table_raises(spark, tmp_path):
     t = Scd2Table.create(spark, str(tmp_path / "t"), key_col="k")
     with pytest.raises(ValueError):
         t.history()
+
+
+def test_stream_dual_sink_history(spark, tmp_path):
+    """run_stream(scd2_dir=...) maintains current + history from ONE
+    stream: after replay (incl. kill/resume and a fresh-epoch duplicate
+    delivery) the SCD2 current rows equal the lake live state — two
+    independently-computed paths — and the full history equals the pure
+    snapshot of the change feed."""
+    import glob as _glob
+    import os
+    import shutil as _sh
+
+    from datax_spark.cdc.generator import changes_df
+    from datax_spark.cdc.pipeline import CHANGE_SCHEMA, run_stream
+    from datax_spark.lake.table import LakeTable
+
+    base = str(tmp_path)
+    src = f"{base}/src"
+    os.makedirs(src)
+    ch = changes_df(spark, 4000, n_keys=600, partitions=4).cache()
+    per = 4000 // 3 + 1
+    for i in range(3):
+        stg = f"{base}/stg{i}"
+        ch.filter((F.col("lsn") >= i * per) & (F.col("lsn") < (i + 1) * per)) \
+            .coalesce(1).write.parquet(stg)
+        _sh.move(_glob.glob(f"{stg}/part-*.parquet")[0], f"{src}/f{i:03d}.parquet")
+
+    schema = T.StructType(
+        [f for f in CHANGE_SCHEMA.fields if f.name not in ("lsn", "op")])
+    LakeTable.create(spark, f"{base}/table", schema, key_col="url", num_buckets=4)
+
+    # kill after 2 batches, then resume; history materialize-folds every 2
+    run_stream(spark, src, f"{base}/table", f"{base}/ckpt",
+               max_files_per_trigger=1, available_now=False,
+               stop_after_batches=2, timeout_sec=180,
+               scd2_dir=f"{base}/hist", scd2_materialize_every=2)
+    run_stream(spark, src, f"{base}/table", f"{base}/ckpt",
+               available_now=True, timeout_sec=180,
+               scd2_dir=f"{base}/hist", scd2_materialize_every=2)
+
+    t = LakeTable(spark, f"{base}/table").load()
+    hist = Scd2Table(spark, f"{base}/hist")
+
+    live = t.read().select("url", "lang")
+    cur = hist.current().select("url", "lang")
+    assert live.exceptAll(cur).count() == 0 and cur.exceptAll(live).count() == 0
+    assert cur.count() > 0
+
+    # full history equals the pure snapshot of the whole feed
+    want = scd2_snapshot(
+        ch.select("url", "warc_ts", "lsn", "op", "html", "lang"),
+        "url", ts_col="warc_ts",
+    )
+    got = hist.history()
+    assert got.count() == want.count()
+    assert (got.select("url", "valid_from_lsn", "valid_to_lsn", "is_current")
+            .exceptAll(want.select("url", "valid_from_lsn", "valid_to_lsn", "is_current"))
+            .count() == 0)
+
+    # duplicate delivery under a FRESH checkpoint epoch: history converges
+    # (scd2 (key,lsn) dedupe), current still equals live
+    run_stream(spark, src, f"{base}/table", f"{base}/ckpt2",
+               available_now=True, timeout_sec=180, scd2_dir=f"{base}/hist")
+    assert hist.history().count() == want.count()
+    cur2 = hist.current().select("url", "lang")
+    live2 = t.read().select("url", "lang")
+    assert live2.exceptAll(cur2).count() == 0 and cur2.exceptAll(live2).count() == 0
