@@ -1116,7 +1116,12 @@ def _q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    # restricted to pre-1996 orders so the anti-join is NON-empty at the
+    # test scales (every customer has some order; a 0/0 oracle row would
+    # prove nothing)
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01")
+    )
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey")
 
 
@@ -2364,7 +2369,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customers_without_orders": """
             SELECT c_custkey FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         """,
         "asof_enrich_events": f"""
             WITH r AS (
