@@ -68,6 +68,11 @@ def get_spark(
         # via extra_conf for CPU-starved deployments.
         .config("spark.io.compression.codec", os.environ.get("DATAX_SPARK_IO_CODEC", "zstd"))
     )
+    # generic env passthrough for A/B harnesses driving fresh-subprocess
+    # sessions (e.g. bench.py --replay-child): "k=v;k=v"
+    for pair in filter(None, os.environ.get("DATAX_SPARK_EXTRA_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
