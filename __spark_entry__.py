@@ -548,6 +548,47 @@ def _q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_changefeed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed with pre/post images (lake/table.py::
+    read_changes, the Delta-CDF shape): the events binlog applied as two
+    fenced merges split at the lsn midpoint; the feed between the two
+    snapshots must emit insert / update_preimage / update_postimage /
+    delete-with-old-values rows. Oracle: two LWW window states in DuckDB
+    diffed under the same lsn watermark rule."""
+    import tempfile
+
+    from datax_spark.cdc.apply import apply_changes
+    from datax_spark.lake.table import LakeTable
+
+    ch = _as_changes(load(spark, sf_dir, "events"))
+    maxl = ch.agg(F.max("lsn")).first()[0]
+    mid = maxl // 2
+    root = os.path.join(tempfile.mkdtemp(prefix="datax_spark_cdf_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    LakeTable.create(spark, root, schema, key_col="user_id", num_buckets=8)
+    snaps = []
+    for b, cond in enumerate(
+        [F.col("lsn") <= mid, F.col("lsn") > mid]
+    ):
+        t = LakeTable(spark, root).load()
+        apply_changes(t, ch.filter(cond), batch_id=b, ts_col="ts")
+        snaps.append(LakeTable(spark, root).load().current_snapshot()["snapshot_id"])
+    t = LakeTable(spark, root).load()
+    return t.read_changes(snaps[0], snaps[1]).select(
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "_change_type",
+    )
+
+
 def _q_heavy_hitters_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters with a CMS prefilter (operators/sketches.py::
     heavy_hitters): parts ordered ≥45 times. The sketch pass bounds the
@@ -1810,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
         "heavy_hitters_partkey": _q_heavy_hitters_partkey,
+        "cdc_changefeed_images": _q_cdc_changefeed_images,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -1935,6 +1977,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*) AS n_kept FROM u
             WHERE NOT EXISTS (SELECT 1 FROM b WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
             GROUP BY host
+        """,
+        "cdc_changefeed_images": f"""
+            WITH ch AS ({ch}),
+            mid AS (SELECT max(lsn) // 2 AS m FROM ch),
+            r0 AS (SELECT user_id, op AS op0, event_type AS et0, value AS v0,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC, lsn DESC) rn
+                   FROM ch WHERE lsn <= (SELECT m FROM mid)),
+            live0 AS (SELECT * FROM r0 WHERE rn = 1 AND op0 <> 'D'),
+            rn2 AS (SELECT user_id, op AS opn, event_type AS etn, value AS vn,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY ts DESC, lsn DESC) rn
+                    FROM ch WHERE lsn > (SELECT max(lsn) FROM ch
+                                         WHERE lsn <= (SELECT m FROM mid))),
+            wn AS (SELECT * FROM rn2 WHERE rn = 1)
+            SELECT wn.user_id, etn AS event_type, round(vn, 4) AS value,
+                   'insert' AS _change_type
+            FROM wn LEFT JOIN live0 ON wn.user_id = live0.user_id
+            WHERE opn <> 'D' AND live0.user_id IS NULL
+            UNION ALL
+            SELECT wn.user_id, etn, round(vn, 4), 'update_postimage'
+            FROM wn JOIN live0 ON wn.user_id = live0.user_id WHERE opn <> 'D'
+            UNION ALL
+            SELECT wn.user_id, et0, round(v0, 4), 'update_preimage'
+            FROM wn JOIN live0 ON wn.user_id = live0.user_id WHERE opn <> 'D'
+            UNION ALL
+            SELECT wn.user_id, et0, round(v0, 4), 'delete'
+            FROM wn JOIN live0 ON wn.user_id = live0.user_id WHERE opn = 'D'
         """,
         "heavy_hitters_partkey": """
             SELECT l_partkey, count(*) AS n

@@ -191,10 +191,31 @@ class Scd2Table:
 
     def append_changes(self, changes: DataFrame, batch_id) -> bool:
         """Fenced append of one change batch (int or string id). Returns
-        False if the batch id was already committed (fence no-op)."""
+        False if the batch id was already committed (fence no-op).
+
+        When a retention horizon is set (``materialize(retain_closed_
+        after=...)``), changes older than the horizon are refused: the
+        expired history they would interleave with is gone, so accepting
+        them could fabricate wrong intervals (e.g. a pre-horizon late
+        insert going "current" on a key whose closing delete was
+        expired). The retention contract is the standard pair:
+        horizon-expiry + an append watermark at the same horizon.
+        """
         m = self._meta()
         if batch_id in m["applied"] or batch_id in m["folded"]:
             return False
+        horizon = m.get("retention_horizon")
+        if horizon is not None:
+            ts = m["ts_col"]
+            too_old = changes.where(
+                F.col(ts) < F.lit(horizon).cast("timestamp")
+            ).limit(1).count()
+            if too_old:
+                raise ValueError(
+                    f"batch contains changes older than the retention "
+                    f"horizon {horizon}; expired history cannot be "
+                    f"consistently re-interleaved"
+                )
         path = os.path.join(self.root, "log", self._bdir(batch_id))
         changes.withColumn(
             "_bucket", bucket_expr(m["key_col"], m["num_buckets"])
@@ -292,18 +313,35 @@ class Scd2Table:
         )
 
     # ---------------------------------------------------------- maintain
-    def materialize(self, fold: bool = False) -> int:
+    def materialize(self, fold: bool = False, retain_closed_after=None) -> int:
         """Write the current full history as the new cache version and
         recompute the dangling-deletes file against it. ``fold=True``
         additionally deletes the covered log directories — the
-        compaction that bounds log growth."""
+        compaction that bounds log growth.
+
+        ``retain_closed_after`` (a timestamp/ISO string) sets/advances
+        the retention horizon: CLOSED intervals with ``valid_to_ts`` at
+        or before it are dropped from the cache (open/current rows are
+        never dropped, whatever their age), dangling deletes at or
+        before it are garbage-collected, and future appends older than
+        the horizon are refused (see ``append_changes``). ``as_of`` at
+        times under the horizon is then explicitly incomplete — that is
+        the point of retention."""
         m = self._meta()
         k, ts, lsn, op = m["key_col"], m["ts_col"], m["lsn_col"], m["op_col"]
         ver = 0 if m["hist_version"] is None else m["hist_version"] + 1
         base = os.path.join(self.root, "hist", f"v{ver}")
         ipath, dpath = os.path.join(base, "intervals"), os.path.join(base, "deletes")
 
-        self.history().write.mode("overwrite").parquet(ipath)
+        horizon = retain_closed_after if retain_closed_after is not None \
+            else m.get("retention_horizon")
+        hist_df = self.history()
+        if horizon is not None:
+            cut = F.lit(str(horizon)).cast("timestamp")
+            hist_df = hist_df.where(
+                F.col("valid_to_ts").isNull() | (F.col("valid_to_ts") > cut)
+            )
+        hist_df.write.mode("overwrite").parquet(ipath)
         new_hist = self.spark.read.parquet(ipath)
 
         # every delete in the table = cached deletes ∪ fresh-log deletes;
@@ -331,6 +369,10 @@ class Scd2Table:
                 F.col(k), F.col("valid_to_lsn").alias(lsn)
             )
             dangling = all_d.join(closers, [k, lsn], "left_anti")
+            if horizon is not None:
+                dangling = dangling.where(
+                    F.col(ts) > F.lit(str(horizon)).cast("timestamp")
+                )
         else:
             dangling = None
         if dangling is None:
@@ -349,6 +391,8 @@ class Scd2Table:
         covered = list(m["applied"])
         prev_ver = m["hist_version"]
         m["hist_version"] = ver
+        if horizon is not None:
+            m["retention_horizon"] = str(horizon)
         if fold:
             m["folded"] = sorted(set(m["folded"]) | set(covered))
             m["applied"] = []

@@ -134,3 +134,44 @@ def test_non_monotone_lsn_needs_relaxed_watermark(spark, tmp_path):
     relaxed = t.read_incremental(s0, assume_monotone_lsn=False)
     row = relaxed.filter("url = 'a'").first()
     assert row is not None and row.lang == "de" and row._op == "U"
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_read_changes_pre_post_images(spark, tmp_path, mode):
+    """CDF with pre/post images: updates emit both images, deletes carry
+    old values, inserts only the new row; insert+delete inside the
+    window nets to nothing; exact through CoW rewrites and MoR deltas."""
+    import datetime as dt
+
+    root = str(tmp_path / "t")
+    LakeTable.create(spark, root, _S, key_col="url", num_buckets=4)
+
+    def _b(rows, bid):
+        df = spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, lang string, lsn long, op string")
+        t = LakeTable(spark, root).load()
+        apply_changes(t, df, batch_id=bid, merge_mode=mode)
+        return LakeTable(spark, root).load().current_snapshot()["snapshot_id"]
+
+    d = lambda i: dt.datetime(2024, 1, i)
+    s1 = _b([(f"https://x/{k}", d(1), "v1", 10 + k, "I") for k in range(5)], 0)
+    s2 = _b([("https://x/2", d(2), "v2", 20, "U"),      # update
+             ("https://x/3", d(2), None, 21, "D"),      # delete
+             ("https://x/9", d(2), "v1", 22, "I"),      # insert
+             ("https://x/7", d(2), "tmp", 23, "I")], 1) # insert...
+    s3 = _b([("https://x/7", d(3), None, 30, "D")], 2)  # ...then delete
+
+    t = LakeTable(spark, root).load()
+    cdf = {(r["url"], r["_change_type"]): r["lang"]
+           for r in t.read_changes(s1, s3).collect()}
+    assert cdf == {
+        ("https://x/9", "insert"): "v1",
+        ("https://x/2", "update_preimage"): "v1",
+        ("https://x/2", "update_postimage"): "v2",
+        ("https://x/3", "delete"): "v1",       # old values on the delete
+    }
+
+    # single-hop feed s2->s3 sees the delete of a key that EXISTED at s2
+    cdf2 = {(r["url"], r["_change_type"]): r["lang"]
+            for r in t.read_changes(s2, s3).collect()}
+    assert cdf2 == {("https://x/7", "delete"): "tmp"}

@@ -243,3 +243,39 @@ def test_stream_dual_sink_history(spark, tmp_path):
     cur2 = hist.current().select("url", "lang")
     live2 = t.read().select("url", "lang")
     assert live2.exceptAll(cur2).count() == 0 and cur2.exceptAll(live2).count() == 0
+
+
+def test_retention_expires_closed_versions(spark, tmp_path):
+    """materialize(retain_closed_after=H): closed intervals ending at or
+    before H are expired (open rows never are, whatever their age),
+    dangling deletes under H are GC'd, appends older than H are refused,
+    and post-horizon processing stays convergent."""
+    t = Scd2Table.create(spark, str(tmp_path / "t"), key_col="k")
+    t.append_changes(_feed(spark, ROWS + LATE), 0)
+    t.materialize(fold=True, retain_closed_after=_t(6))
+
+    hist = t.history()
+    # every surviving closed interval ends after day 6; opens survive
+    closed = hist.where(F.col("valid_to_ts").isNotNull())
+    assert closed.count() > 0
+    assert closed.where(F.col("valid_to_ts") <= F.lit(_t(6))).count() == 0
+    # a's current version (opened day 9) and d's (day 8, open) survive
+    cur = {r["k"]: r["v"] for r in t.current().collect()}
+    assert cur == {"a": "v4", "d": "x1"}
+    # a's day3 version (closed day 7 > horizon) survives; day1/day2 gone
+    a_lsns = sorted(r["valid_from_lsn"]
+                    for r in hist.where(F.col("k") == "a").collect())
+    assert a_lsns == [11, 14]
+
+    # pre-horizon appends refused
+    with pytest.raises(ValueError, match="retention"):
+        t.append_changes(_feed(spark, [("z", 2, 99, "I", "zz")]), 1)
+
+    # post-horizon life continues: new change on a retained key converges
+    t.append_changes(_feed(spark, [("a", 11, 50, "U", "v5")]), 2)
+    t.materialize(fold=True)
+    cur2 = {r["k"]: r["v"] for r in t.current().collect()}
+    assert cur2 == {"a": "v5", "d": "x1"}
+    a2 = {r["valid_from_lsn"]: r["valid_to_lsn"]
+          for r in t.history().where(F.col("k") == "a").collect()}
+    assert a2 == {11: 13, 14: 50, 50: None}
