@@ -589,6 +589,37 @@ def _q_cdc_changefeed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted logical delete (lake/table.py::delete_where): the events
+    binlog applied as one merge, then every live 'click' row tombstoned
+    through the fenced MERGE; final state = LWW live minus clicks.
+    Oracle: the LWW window with the same predicate."""
+    import tempfile
+
+    from datax_spark.cdc.apply import apply_changes
+    from datax_spark.lake.table import LakeTable
+
+    ch = _as_changes(load(spark, sf_dir, "events"))
+    root = os.path.join(tempfile.mkdtemp(prefix="datax_spark_del_"), "t")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    LakeTable.create(spark, root, schema, key_col="user_id", num_buckets=8)
+    t = LakeTable(spark, root).load()
+    apply_changes(t, ch, batch_id=0, ts_col="ts")
+    t = LakeTable(spark, root).load()
+    t.delete_where(F.col("event_type") == "click", ts_col="ts", batch_id=1)
+    return (
+        LakeTable(spark, root).load().read()
+        .select("user_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
 def _q_heavy_hitters_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters with a CMS prefilter (operators/sketches.py::
     heavy_hitters): parts ordered ≥45 times. The sketch pass bounds the
@@ -1852,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_asof": _q_cdc_scd2_asof,
         "heavy_hitters_partkey": _q_heavy_hitters_partkey,
         "cdc_changefeed_images": _q_cdc_changefeed_images,
+        "cdc_delete_where": _q_cdc_delete_where,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -1977,6 +2009,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*) AS n_kept FROM u
             WHERE NOT EXISTS (SELECT 1 FROM b WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
             GROUP BY host
+        """,
+        "cdc_delete_where": f"""
+            WITH ch AS ({ch}),
+            r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, lsn DESC) rn
+                  FROM ch)
+            SELECT user_id, event_type, round(value, 4) AS value
+            FROM r WHERE rn = 1 AND op <> 'D' AND event_type <> 'click'
         """,
         "cdc_changefeed_images": f"""
             WITH ch AS ({ch}),

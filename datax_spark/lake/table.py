@@ -765,6 +765,75 @@ class LakeTable:
         entries = self.write_data_files(df, self.schema())
         return self.commit(entries, replaced_buckets=victims, operation="compact")
 
+    def delete_where(
+        self, condition, ts_col: str, lsn_col: str = "lsn",
+        batch_id: int | None = None, stream_id: str = "maintenance",
+        merge_mode: str = "mor",
+    ) -> dict | None:
+        """Targeted LOGICAL delete: rows of the effective state matching
+        ``condition`` receive tombstone changes through the normal fenced
+        MERGE (default as MoR deltas — no bucket rewrite). The tombstone
+        reuses each victim's winning ``ts_col`` value and a fresh LSN
+        above the table's manifest maximum, so it wins LWW by the lsn
+        tie-break without fabricating timestamps. Old versions remain
+        until compaction (``compact_buckets``) or :meth:`purge_where`.
+
+        Cost: one pushdown-filtered scan to find victims + a merge ∝
+        victims. Returns the commit snapshot, or None if nothing matched.
+        """
+        key = self.key_col
+        lsns = [e["lsn_max"] for e in self.manifest() if e.get("lsn_max") is not None]
+        next_lsn = (max(lsns) + 1) if lsns else 1
+        victims = self.read().where(condition)
+        changes = victims.select(
+            F.col(key),
+            F.col(ts_col),
+            F.lit(next_lsn).cast("bigint").alias(lsn_col),
+            F.lit("D").alias("op"),
+        )
+        from datax_spark.lake.merge import merge_into
+
+        if changes.limit(1).count() == 0:
+            return None
+        return merge_into(
+            self, changes, ts_col=ts_col, lsn_col=lsn_col,
+            stream_id=stream_id, batch_id=batch_id, merge_mode=merge_mode,
+        )
+
+    def purge_where(self, condition) -> dict | None:
+        """Targeted PHYSICAL purge (the GDPR/right-to-be-forgotten op):
+        every version, tombstone, and delta row of every key with ANY
+        version matching ``condition`` is rewritten away. Affected
+        buckets only are rewritten (one CoW commit; untouched buckets'
+        files are untouched); the purged keys' history is gone from the
+        current snapshot. Older snapshots still reference the old files —
+        complete erasure = ``purge_where`` + ``expire_snapshots`` +
+        ``vacuum`` (the same contract as Delta/Iceberg).
+
+        Cost: one pushdown-filtered scan over all versions to find
+        matched keys, then a rewrite ∝ affected buckets. Returns the
+        commit snapshot, or None if nothing matched."""
+        key = self.key_col
+        matched = (
+            self.read(include_deleted=True, collapse=False)
+            .where(condition)
+            .select(key)
+            .distinct()
+        )
+        bks = sorted(
+            int(r["_b"])
+            for r in matched.select(
+                bucket_expr(key, self.num_buckets).alias("_b")).distinct().collect()
+        )
+        if not bks:
+            return None
+        keep = (
+            self.read(buckets=bks, include_deleted=True, include_system=True)
+            .join(F.broadcast(matched), key, "left_anti")
+        )
+        entries = self.write_data_files(keep, self.schema())
+        return self.commit(entries, replaced_buckets=set(bks), operation="purge")
+
     def rebucket(self, new_num_buckets: int) -> dict | None:
         """Change the table's bucket count — the partition-evolution
         operation a growing table needs (a layout sized for 1 TB is 100

@@ -253,3 +253,60 @@ def test_delta_bloom_disable_property(spark, tmp_table_root):
     deltas = [e for e in t.manifest() if e["kind"] == "delta"]
     assert deltas and all(not e.get("key_bloom") for e in deltas)
     assert t.lookup("https://x/3").collect()[0]["lang"] == "zz"
+
+
+def test_delete_where_tombstones_and_purge_where_erases(spark, tmp_table_root):
+    """delete_where: logical tombstones through the fenced MERGE (history
+    kept as versions); purge_where: affected buckets rewritten, every
+    version of matching keys physically gone from the current snapshot,
+    untouched buckets' files untouched."""
+    t = _mk(spark, tmp_table_root, nb=4)
+    bulk_load(t, _pages(spark, 100))
+    # second version for some keys via MoR (history to purge later)
+    import datetime as _dt
+
+    upd = spark.createDataFrame(
+        [(f"https://x/{k}", _dt.datetime(2099, 1, 1), "b", 5000 + k, "U")
+         for k in range(0, 100, 10)],
+        "url string, warc_ts timestamp, lang string, lsn long, op string")
+    merge_into(t, upd, batch_id=1, merge_mode="mor")
+    t = t.load()
+    assert t.read().where(F.col("lang") == "b").count() == 10
+
+    # logical delete of all lang='b' rows
+    snap = t.delete_where(F.col("lang") == "b", ts_col="warc_ts", batch_id=2)
+    assert snap is not None
+    t = t.load()
+    assert t.read().where(F.col("lang") == "b").count() == 0
+    assert t.read().count() == 90
+    # versions survive the logical delete (raw scan still sees 'b' rows)
+    raw = t.read(include_deleted=True, collapse=False)
+    assert raw.where(F.col("lang") == "b").count() == 10
+    # no-match delete is a no-op
+    assert t.load().delete_where(F.col("lang") == "zz", ts_col="warc_ts",
+                                 batch_id=3) is None
+
+    # physical purge: every version of those keys erased
+    before_paths = {e["path"] for e in t.manifest()}
+    snap2 = t.load().purge_where(F.col("lang") == "b")
+    assert snap2 is not None
+    t = t.load()
+    assert t.read().count() == 90
+    assert t.read(include_deleted=True, collapse=False) \
+        .where(F.col("lang") == "b").count() == 0
+    purged_keys = {f"https://x/{k}" for k in range(0, 100, 10)}
+    left = {r["url"] for r in
+            t.read(include_deleted=True, collapse=False).select("url").collect()}
+    assert not (left & purged_keys)
+
+    # single-key purge rewrites ONE bucket; the other buckets' files
+    # survive the commit verbatim
+    before_paths = {e["path"] for e in t.manifest()}
+    t.purge_where(F.col("url") == "https://x/1")
+    t = t.load()
+    b1 = t.key_bucket("https://x/1")
+    untouched_now = {e["path"] for e in t.manifest() if e["bucket"] != b1}
+    rewritten_now = {e["path"] for e in t.manifest() if e["bucket"] == b1}
+    assert untouched_now and untouched_now <= before_paths
+    assert rewritten_now.isdisjoint(before_paths)
+    assert t.read().count() == 89
