@@ -182,3 +182,46 @@ def test_bucket_local_agg_has_no_exchange(spark, tmp_path):
         keys = {r[0] for r in df_b.select("url").distinct().collect()}
         assert not (keys & seen)
         seen |= keys
+
+
+def test_scd2_snapshot_single_exchange(spark):
+    """The SCD2 derivation is ONE key exchange (dedupe partial-agg rides
+    the same partitioning as the window) — no second shuffle."""
+    from datax_spark.cdc.scd2 import scd2_snapshot
+
+    ch = spark.range(100).select(
+        (F.col("id") % 10).cast("string").alias("k"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+        F.col("id").alias("lsn"),
+        F.lit("U").alias("op"),
+        F.lit("v").alias("v"),
+    )
+    plan = _plan(scd2_snapshot(ch, "k"))
+    assert plan.count("Exchange hashpartitioning(k") == 1, plan
+
+
+def test_bloom_prune_no_exchange_on_big_side(spark):
+    """The bloom probe is a scan-side FILTER: pruning must not shuffle
+    the big side (positions computed in-line, bits tested in an Arrow
+    UDF) — the whole point is that only survivors reach any exchange."""
+    from datax_spark.operators.bloom import bloom_build, bloom_prune
+
+    small = spark.range(100).select(F.col("id").alias("k"))
+    bf = bloom_build(small, "k", num_bits=1 << 12)
+    big = spark.range(10_000).select(F.col("id").alias("k"))
+    plan = _plan(bloom_prune(big, bf, "k"))
+    assert "Exchange" not in plan, plan
+
+
+def test_heavy_hitters_candidate_filter_before_exchange(spark):
+    """The CMS candidate filter must sit UNDER the exact-count exchange
+    (tail rows eliminated before any shuffle)."""
+    from datax_spark.operators.sketches import heavy_hitters
+
+    df = spark.range(5_000).select((F.col("id") % 50).alias("k"))
+    plan = _plan(heavy_hitters(df, ["k"], 10, width=1 << 12))
+    # exactly one exchange (the exact count); the python eval (candidate
+    # filter) appears below it in the tree
+    assert plan.count("Exchange hashpartitioning(k") == 1, plan
+    below_exchange = plan.split("Exchange hashpartitioning(k", 1)[1]
+    assert "ArrowEvalPython" in below_exchange or "BatchEvalPython" in below_exchange, plan
