@@ -228,10 +228,19 @@ class Scd2Table:
 
     # ---------------------------------------------------------- internals
     def _log_df(self, batch_ids: list[int]) -> DataFrame | None:
+        """Union of the batch logs, schema-evolution-safe: each batch dir
+        is read under its own schema and united by name with missing
+        columns as NULL (a later batch may carry attribute columns an
+        earlier one lacked — a single multi-path parquet read would
+        silently pick one file's schema)."""
         paths = [os.path.join(self.root, "log", self._bdir(b)) for b in batch_ids]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths).drop("_bucket")
+        dfs = [self.spark.read.parquet(p).drop("_bucket") for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def _hist_paths(self, m: dict) -> tuple[str, str] | None:
         if m["hist_version"] is None:
@@ -273,7 +282,7 @@ class Scd2Table:
         dangling = self.spark.read.parquet(paths[1])
         if keys_df is not None:
             dangling = dangling.join(F.broadcast(keys_df), k, "left_semi")
-        return out.unionByName(dangling.select(*out.columns))
+        return out.unionByName(dangling, allowMissingColumns=True)
 
     # ---------------------------------------------------------- reads
     def history(self) -> DataFrame:
@@ -296,9 +305,13 @@ class Scd2Table:
         affected = fresh.select(k).distinct()
         untouched = hist.join(F.broadcast(affected), k, "left_anti")
         cached = self._changes_from_cache(m, affected)
-        all_ch = fresh if cached is None else fresh.unionByName(cached.select(*fresh.columns))
+        all_ch = fresh if cached is None else fresh.unionByName(
+            cached, allowMissingColumns=True
+        )
         recomputed = scd2_snapshot(all_ch, k, m["ts_col"], m["lsn_col"], m["op_col"])
-        return untouched.unionByName(recomputed.select(*untouched.columns))
+        # attribute columns added by fresh batches surface as NULL on
+        # cached untouched rows (schema evolution at read)
+        return untouched.unionByName(recomputed, allowMissingColumns=True)
 
     def current(self) -> DataFrame:
         return self.history().where(F.col("is_current") == 1)
@@ -353,14 +366,12 @@ class Scd2Table:
         if cached is not None:
             d_parts.append(cached.where(F.col(op) == "D"))
         if fresh is not None:
-            cols = d_parts[0].columns if d_parts else None
-            fd = fresh.where(F.col(op) == "D").dropDuplicates([k, lsn])
-            d_parts.append(fd.select(*cols) if cols else fd)
+            d_parts.append(fresh.where(F.col(op) == "D").dropDuplicates([k, lsn]))
         attr_cols = [c for c in new_hist.columns if c not in (k, *_V_COLS)]
         if d_parts:
             all_d = d_parts[0]
             for p in d_parts[1:]:
-                all_d = all_d.unionByName(p)
+                all_d = all_d.unionByName(p, allowMissingColumns=True)
             all_d = all_d.dropDuplicates([k, lsn]).select(
                 k, ts, lsn, op,
                 *[F.lit(None).cast(new_hist.schema[c].dataType).alias(c) for c in attr_cols],

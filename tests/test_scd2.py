@@ -279,3 +279,32 @@ def test_retention_expires_closed_versions(spark, tmp_path):
     a2 = {r["valid_from_lsn"]: r["valid_to_lsn"]
           for r in t.history().where(F.col("k") == "a").collect()}
     assert a2 == {11: 13, 14: 50, 50: None}
+
+
+def test_schema_evolution_across_batches(spark, tmp_path):
+    """A later batch carries a NEW attribute column: old versions (and
+    cached untouched keys) surface it as NULL; convergence holds through
+    materialize-fold; the evolved column round-trips the cache."""
+    t = Scd2Table.create(spark, str(tmp_path / "t"), key_col="k")
+    t.append_changes(_feed(spark, [("a", 1, 10, "I", "v1"),
+                                   ("b", 2, 20, "I", "w1")]), 0)
+    t.materialize(fold=True)
+    evolved = spark.createDataFrame(
+        [("a", _t(5), 30, "U", "v2", "extra-a")],
+        "k string, ts timestamp, lsn long, op string, v string, note string")
+    t.append_changes(evolved, 1)
+
+    hist = {(r["k"], r["valid_from_lsn"]): (r["v"], r["note"])
+            for r in t.history().collect()}
+    assert hist == {
+        ("a", 10): ("v1", None),
+        ("a", 30): ("v2", "extra-a"),
+        ("b", 20): ("w1", None),     # cached untouched key gets NULL note
+    }
+    # evolved column survives fold-materialize and further reads
+    t.materialize(fold=True)
+    hist2 = {(r["k"], r["valid_from_lsn"]): (r["v"], r["note"])
+             for r in t.history().collect()}
+    assert hist2 == hist
+    cur = {r["k"]: r["note"] for r in t.current().collect()}
+    assert cur == {"a": "extra-a", "b": None}
