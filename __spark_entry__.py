@@ -589,6 +589,32 @@ def _q_cdc_changefeed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked enrichment join (cdc/enrich.py) over a
+    deterministic fixture — metadata row in force (within a 15-minute
+    tolerance) at each change's event time. The batch plan here is
+    IDENTICAL to the streaming one (watermarks no-op on batch); the
+    streaming drive itself is pinned byte-equal in tests/test_enrich.py.
+    Oracle: the equivalent range-join SQL."""
+    from datax_spark.cdc.enrich import stream_enrich_join
+
+    ch = spark.range(60).select(
+        F.concat(F.lit("h"), (F.col("id") % 4).cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("warc_ts"),
+        F.col("id").alias("lsn"),
+    )
+    mt = spark.range(24).select(
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string")).alias("host"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("id") / 3).cast("long") * 600
+        ).alias("meta_ts"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("policy"),
+    )
+    return stream_enrich_join(
+        ch, mt, "url", meta_key_col="host", tolerance="15 minutes"
+    ).select("url", "lsn", "m_policy")
+
+
 def _q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Targeted logical delete (lake/table.py::delete_where): the events
     binlog applied as one merge, then every live 'click' row tombstoned
@@ -1884,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_partkey": _q_heavy_hitters_partkey,
         "cdc_changefeed_images": _q_cdc_changefeed_images,
         "cdc_delete_where": _q_cdc_delete_where,
+        "cdc_stream_enrich": _q_cdc_stream_enrich,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -2009,6 +2036,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*) AS n_kept FROM u
             WHERE NOT EXISTS (SELECT 1 FROM b WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
             GROUP BY host
+        """,
+        "cdc_stream_enrich": """
+            WITH c AS (SELECT 'h' || (i % 4) AS url,
+                              to_timestamp(1704067200 + i * 60) AS warc_ts,
+                              i AS lsn
+                       FROM range(60) t(i)),
+            m AS (SELECT 'h' || (i % 3) AS host,
+                         to_timestamp(1704067200 + (i // 3) * 600) AS meta_ts,
+                         'p' || i AS policy
+                  FROM range(24) t(i))
+            SELECT c.url, c.lsn, m.policy AS m_policy
+            FROM c JOIN m
+              ON c.url = m.host
+             AND m.meta_ts <= c.warc_ts
+             AND m.meta_ts > c.warc_ts - INTERVAL 15 MINUTE
         """,
         "cdc_delete_where": f"""
             WITH ch AS ({ch}),
