@@ -202,13 +202,16 @@ def run_stream(
         if scd2 is not None:
             # history sink sees the same CLEAN rows the merge applied
             # (dirty ops/null keys would corrupt interval derivation);
-            # its own epoch-scoped fence makes the append idempotent
-            from datax_spark.quarantine import split_dirty_lazy
+            # its own epoch-scoped fence makes the append idempotent.
+            # Plain predicate, no observe(): an observed subtree reused
+            # across two sink plans can trip Catalyst attribute binding.
+            from datax_spark.quarantine import dirty_reason
 
-            clean, _obs, _tagged = split_dirty_lazy(
-                batch_df, key_col=table.key_col, op_col="op", lsn_col=lsn_col
+            reason = dirty_reason(table.key_col, "op", lsn_col)
+            scd2.append_changes(
+                batch_df.filter(reason.isNull()),
+                f"{fence_epoch[:8]}-{batch_id:08d}",
             )
-            scd2.append_changes(clean, f"{fence_epoch[:8]}-{batch_id:08d}")
             if scd2_materialize_every and (batch_id + 1) % scd2_materialize_every == 0:
                 scd2.materialize(fold=True)
         seen["n"] += 1

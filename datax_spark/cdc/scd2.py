@@ -94,9 +94,21 @@ def scd2_snapshot(
     """
     attr_cols = [c for c in changes.columns if c not in (key_col, ts_col, lsn_col, op_col)]
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(lsn_col).asc())
+    # At-least-once dedupe via lag over the SAME window rather than
+    # dropDuplicates: (a) identical redeliveries sort adjacent under
+    # (ts, lsn), so lag(lsn)==lsn marks them with no extra exchange
+    # (dropDuplicates/groupBy would add a (key,lsn) shuffle); (b) a
+    # Deduplicate node under a Window on the LEFT of exceptAll trips a
+    # Spark 4.1 optimizer bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in the
+    # RewriteExceptAll sum aggregate — minimal repro in the session
+    # notes), which this shape avoids. Contract: duplicates are
+    # identical WAL redeliveries of one (key, lsn) change.
+    marked = changes.select(key_col, ts_col, lsn_col, op_col, *attr_cols).withColumn(
+        "_redelivery", F.lag(lsn_col).over(w) == F.col(lsn_col)
+    )
     v = (
-        changes.select(key_col, ts_col, lsn_col, op_col, *attr_cols)
-        .dropDuplicates([key_col, lsn_col])
+        marked.where(~F.coalesce(F.col("_redelivery"), F.lit(False)))
+        .drop("_redelivery")
         .withColumns(
             {
                 "valid_to_ts": F.lead(ts_col).over(w),

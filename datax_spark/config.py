@@ -239,6 +239,31 @@ def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
             error_limits=cfg.error_limits,
             merge_mode=p.get("mergeMode", "cow"),
         )
+        if p.get("scd2Dir"):
+            # dual sink from job config — mirrors run_stream(scd2_dir=...)
+            import os as _os
+
+            from datax_spark.cdc.scd2 import Scd2Table
+            from datax_spark.quarantine import dirty_reason
+
+            if _os.path.exists(_os.path.join(p["scd2Dir"], "_meta.json")):
+                hist = Scd2Table(spark, p["scd2Dir"])
+            else:
+                hist = Scd2Table.create(
+                    spark, p["scd2Dir"], key_col=table.key_col,
+                    ts_col=p.get("tsColumn", "warc_ts"),
+                    lsn_col=p.get("lsnColumn", "lsn"),
+                    op_col=p.get("opColumn", "op"),
+                )
+            # plain predicate, no observe(): an observed subtree reused
+            # across two sink plans can trip Catalyst attribute binding
+            reason = dirty_reason(
+                table.key_col, p.get("opColumn", "op"), p.get("lsnColumn", "lsn")
+            )
+            hist.append_changes(
+                df.filter(reason.isNull()),
+                f"{p.get('streamId', 'job')}-{p.get('batchId')}",
+            )
         return {"writer": name, **{k: v for k, v in m.items() if k != "lineage"}}
     if name == "jdbcwriter":
         from datax_spark.sources.files import write_jdbc_batched

@@ -196,3 +196,39 @@ def test_lakemerger_canonicalize_key(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["url"] == "http://site.example/a"
     assert got[0]["lang"] == "v2"
+
+
+def test_lakemerger_scd2_dual_sink_from_config(spark, tmp_path):
+    """scd2Dir in the lakemerger job config maintains the history table
+    alongside the lake; current() equals the lake live state, and the
+    composite job/batch fence key no-ops a re-run."""
+    src = str(tmp_path / "changes")
+    root = str(tmp_path / "table")
+    hist_dir = str(tmp_path / "hist")
+    from datax_spark.cdc.generator import changes_df
+
+    changes_df(spark, 600, n_keys=120, partitions=2).write.parquet(src)
+    cfg = JobConfig.from_json(json.dumps({
+        "job": {
+            "setting": {"errorLimit": {"record": 0}},
+            "content": [{
+                "reader": {"name": "changereader", "parameter": {"path": src}},
+                "writer": {"name": "lakemerger", "parameter": {
+                    "path": root, "keyColumn": "url", "numBuckets": 4,
+                    "batchId": 0, "scd2Dir": hist_dir}},
+            }],
+        }
+    }))
+    run_job(spark, cfg)
+    from datax_spark.cdc.scd2 import Scd2Table
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, root).load()
+    hist = Scd2Table(spark, hist_dir)
+    live = t.read().select("url", "lang")
+    cur = hist.current().select("url", "lang")
+    assert live.exceptAll(cur).count() == 0 and cur.exceptAll(live).count() == 0
+
+    n_hist = hist.history().count()
+    run_job(spark, cfg)  # fenced on both sinks
+    assert hist.history().count() == n_hist
