@@ -589,6 +589,31 @@ def _q_cdc_changefeed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of dimension lookup against the SCD2 history (cdc/scd2.py::
+    scd2_lookup_join): every event, shifted one day forward as a fact
+    time, annotated with the version in force at that instant — a plain
+    key equi-join with the interval test as join filter, never a range
+    blow-up. Oracle: the interval-join SQL over the same window-derived
+    history."""
+    from datax_spark.cdc.scd2 import scd2_lookup_join, scd2_snapshot
+
+    ch = _as_changes(load(spark, sf_dir, "events"))
+    hist = scd2_snapshot(ch, "user_id")
+    facts = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 DAY")).alias("fts"),
+    )
+    j = scd2_lookup_join(facts, hist, "user_id", "fts")
+    return j.select(
+        "user_id",
+        "event_id",
+        "valid_from_lsn",
+        F.col("event_type").alias("dim_event_type"),
+    )
+
+
 def _q_cdc_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked enrichment join (cdc/enrich.py) over a
     deterministic fixture — metadata row in force (within a 15-minute
@@ -1911,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changefeed_images": _q_cdc_changefeed_images,
         "cdc_delete_where": _q_cdc_delete_where,
         "cdc_stream_enrich": _q_cdc_stream_enrich,
+        "cdc_scd2_lookup": _q_cdc_scd2_lookup,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -2036,6 +2062,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*) AS n_kept FROM u
             WHERE NOT EXISTS (SELECT 1 FROM b WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
             GROUP BY host
+        """,
+        "cdc_scd2_lookup": f"""
+            WITH ch AS ({ch}),
+            v AS (SELECT user_id, ts, lsn, op, event_type,
+                         lead(ts) OVER w AS vt
+                  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, lsn)),
+            f AS (SELECT user_id, event_id, ts + INTERVAL 1 DAY AS fts
+                  FROM events)
+            SELECT f.user_id, f.event_id, v.lsn AS valid_from_lsn,
+                   v.event_type AS dim_event_type
+            FROM f JOIN v ON f.user_id = v.user_id
+            WHERE v.op <> 'D' AND v.ts <= f.fts
+              AND (v.vt IS NULL OR v.vt > f.fts)
         """,
         "cdc_stream_enrich": """
             WITH c AS (SELECT 'h' || (i % 4) AS url,

@@ -71,7 +71,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from datax_spark.lake.table import bucket_expr
 
-__all__ = ["scd2_snapshot", "Scd2Table"]
+__all__ = ["scd2_snapshot", "scd2_lookup_join", "Scd2Table"]
 
 _V_COLS = ["valid_from_ts", "valid_from_lsn", "valid_to_ts", "valid_to_lsn", "is_current"]
 
@@ -128,6 +128,46 @@ def scd2_snapshot(
             F.col("valid_to_ts").isNull().cast("int").alias("is_current"),
         )
     )
+
+
+def scd2_lookup_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    fact_ts_col: str,
+    how: str = "inner",
+    fact_key_col: str | None = None,
+) -> DataFrame:
+    """Enrich a fact stream with the dimension version IN FORCE at each
+    fact's event time — the consumption pattern SCD2 exists for.
+
+    ``history`` is interval rows (``scd2_snapshot`` output /
+    ``Scd2Table.history()``). Each fact matches the unique version with
+    ``valid_from_ts <= fact_ts < valid_to_ts`` (open intervals match to
+    ∞); facts during a deletion hole (or before the first version) get
+    no match — NULLs under ``how="left"``.
+
+    Scale shape: a plain EQUI-join on the key (co-partitionable,
+    broadcastable when the dimension is small) with the interval test as
+    a join-level filter — per key there are only as many candidate rows
+    as versions, so the pre-filter fan-out is bounded by version count,
+    never a range-join blow-up. Uniqueness of the match is structural
+    (intervals of one key never overlap).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    fk = fact_key_col or key_col
+    h = history.select(
+        F.col(key_col).alias("_hk"),
+        *[F.col(c) for c in history.columns if c != key_col],
+    )
+    ts = facts[fact_ts_col]
+    cond = (
+        (facts[fk] == h["_hk"])
+        & (h["valid_from_ts"] <= ts)
+        & (h["valid_to_ts"].isNull() | (h["valid_to_ts"] > ts))
+    )
+    return facts.join(h, cond, "inner" if how == "inner" else "leftOuter").drop("_hk")
 
 
 class Scd2Table:

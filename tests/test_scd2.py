@@ -308,3 +308,32 @@ def test_schema_evolution_across_batches(spark, tmp_path):
     assert hist2 == hist
     cur = {r["k"]: r["note"] for r in t.current().collect()}
     assert cur == {"a": "extra-a", "b": None}
+
+
+def test_scd2_lookup_join_version_in_force(spark):
+    """Each fact matches exactly the version whose interval covers its
+    ts; facts in a deletion hole / before the first version get no match
+    (NULLs under left)."""
+    from datax_spark.cdc.scd2 import scd2_lookup_join
+
+    hist = scd2_snapshot(_feed(spark, [
+        ("a", 1, 10, "I", "v1"),
+        ("a", 3, 11, "U", "v2"),
+        ("a", 7, 13, "D", None),
+        ("a", 9, 14, "I", "v4"),
+    ]), "k")
+    facts = spark.createDataFrame(
+        [(1, "a", _t(2)),   # inside v1
+         (2, "a", _t(3)),   # boundary: v2 opens AT day3 (left-closed)
+         (3, "a", _t(8)),   # deletion hole
+         (4, "a", _t(12)),  # open current version
+         (5, "zz", _t(5))], # unknown key
+        "fid long, k string, fts timestamp")
+    got = {r["fid"]: r["v"] for r in
+           scd2_lookup_join(facts, hist, "k", "fts").collect()}
+    assert got == {1: "v1", 2: "v2", 4: "v4"}
+    left = scd2_lookup_join(facts, hist, "k", "fts", how="left")
+    assert left.count() == 5
+    assert left.where(F.col("fid").isin(3, 5)).where(F.col("v").isNull()).count() == 2
+    # uniqueness: never more than one version per fact
+    assert scd2_lookup_join(facts, hist, "k", "fts").count() == 3
