@@ -589,6 +589,19 @@ def _q_cdc_changefeed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (operators/clustering.py): broadcast-centroid
+    Arrow argmin assignment + DECIMAL-exact order-free Lloyd updates —
+    fit 8 clusters in 3 iterations over the embeddings table, return
+    every vector's assignment. Oracle: full pure-python replay
+    (pyref.kmeans_rows) — bit-identical by the decimal-sum discipline."""
+    from datax_spark.operators.clustering import kmeans_fit, kmeans_predict
+
+    emb = load(spark, sf_dir, "embeddings")
+    C = kmeans_fit(emb, k=8, iters=3)
+    return kmeans_predict(emb, C).select("vec_id", "cluster")
+
+
 def _q_cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of dimension lookup against the SCD2 history (cdc/scd2.py::
     scd2_lookup_join): every event, shifted one day forward as a fact
@@ -1937,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_delete_where": _q_cdc_delete_where,
         "cdc_stream_enrich": _q_cdc_stream_enrich,
         "cdc_scd2_lookup": _q_cdc_scd2_lookup,
+        "ann_kmeans_clusters": _q_ann_kmeans_clusters,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -2992,6 +3006,10 @@ def _pyref_oracles() -> dict[str, str]:
         "doc_weighted_sample": pyref.values_sql(
             pyref.weighted_sample_rows(sf_dir, k=25, salt=42),
             [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")],
+        ),
+        "ann_kmeans_clusters": pyref.values_sql(
+            pyref.kmeans_rows(sf_dir, k=8, iters=3),
+            [("vec_id", "BIGINT"), ("cluster", "INT")],
         ),
         "dedup_simhash": pyref.values_sql(
             pyref.simhash_rows(sf_dir),

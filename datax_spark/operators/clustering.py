@@ -1,0 +1,139 @@
+"""Distributed k-means clustering over an embedding column.
+
+The PQ/IVF trainers (``operators/pq.py``) fit on a bounded driver
+sample — right for codebooks, wrong for CLUSTERING 10^9 vectors where
+every row needs an assignment and the update must see all of them. This
+module is the distributed Lloyd iteration:
+
+- **assign**: centroids broadcast in the UDF closure (k×dim float64 —
+  KBs), one Arrow-batched argmin per batch; zero shuffle.
+- **update**: per-(cluster, dim) component sums via ``posexplode`` →
+  hash aggregate with map-side combine — the exchange carries ≤ k×dim
+  rows per task; the driver receives k×dim sums total.
+
+Determinism discipline (same as the corpus-LM op in functions/text.py):
+component sums are DECIMAL(30,15) — exact and partition-order-free, so
+repeated runs, repartitionings, AND the pure-python oracle
+(oracle/pyref.py::kmeans_rows) produce bit-identical centroids; float64
+distance math is elementwise per row (no cross-row reduction), ties
+break to the lowest centroid index on both sides. Init is the
+farthest-point seeding over the ``init_sample`` lowest-id vectors — no
+RNG anywhere. Fixed ``iters`` (no data-dependent convergence test) keeps
+the iteration count itself deterministic.
+
+Precision budget: DECIMAL(30,15) sums overflow above ~10^15 total
+magnitude per (cluster, dim) — at |component| ≤ 1 that is 10^15 rows per
+cluster; raise the precision (38,12) for pathological scales.
+
+Engine-added surface (the reference has no numeric compute at all);
+clustering is the standard precursor to semantic dedup / diversity
+sampling over training corpora.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+__all__ = ["farthest_point_init", "kmeans_assign", "kmeans_fit", "kmeans_predict"]
+
+
+def farthest_point_init(X: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic seeding: first vector, then repeatedly the point
+    farthest from its nearest chosen centroid (ties → lowest index,
+    numpy argmax). Same scheme as the PQ/IVF trainers."""
+    cents = [X[0]]
+    d2 = ((X - cents[0]) ** 2).sum(axis=1)
+    while len(cents) < k:
+        i = int(np.argmax(d2))
+        cents.append(X[i])
+        d2 = np.minimum(d2, ((X - X[i]) ** 2).sum(axis=1))
+    return np.array(cents, dtype="float64")
+
+
+def _assign_udf(centroids: np.ndarray):
+    C = np.asarray(centroids, dtype="float64")
+
+    def _fn(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.vstack([np.asarray(x, dtype="float64") for x in v])
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return F.pandas_udf(_fn, T.IntegerType())
+
+
+def kmeans_assign(df: DataFrame, centroids: np.ndarray,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster) — nearest-centroid assignment, zero shuffle."""
+    return df.select(
+        F.col(id_col), _assign_udf(centroids)(F.col(vec_col)).alias("cluster")
+    )
+
+
+def _exact_update(df: DataFrame, centroids: np.ndarray, vec_col: str) -> np.ndarray:
+    """One Lloyd update with order-free decimal component sums; empty
+    clusters keep their previous centroid."""
+    k, dim = centroids.shape
+    ex = df.select(
+        _assign_udf(centroids)(F.col(vec_col)).alias("cluster"),
+        F.posexplode(vec_col).alias("dim", "val"),
+    )
+    rows = (
+        ex.groupBy("cluster", "dim")
+        .agg(
+            F.sum(F.col("val").cast("double").cast("decimal(30,15)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    new = centroids.copy()
+    counts = {}
+    sums: dict[tuple[int, int], Decimal] = {}
+    for r in rows:
+        sums[(int(r["cluster"]), int(r["dim"]))] = r["s"]
+        counts[int(r["cluster"])] = int(r["n"])
+    for c in range(k):
+        n = counts.get(c)
+        if not n:
+            continue
+        for d in range(dim):
+            new[c, d] = float(sums[(c, d)]) / n
+    return new
+
+
+def kmeans_fit(
+    df: DataFrame, k: int, iters: int = 3,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    init_sample: int = 256,
+) -> np.ndarray:
+    """Fit k centroids with ``iters`` distributed Lloyd iterations.
+    Deterministic end to end (see module docstring); cost per iteration
+    is one corpus pass + a k×dim-bounded exchange."""
+    rows = (
+        df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(init_sample).collect()
+    )
+    X = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
+    if len(X) < k:
+        raise ValueError(f"need >= k={k} vectors to initialize, got {len(X)}")
+    C = farthest_point_init(X, k)
+    for _ in range(iters):
+        C = _exact_update(df, C, vec_col)
+    return C
+
+
+def kmeans_predict(df: DataFrame, centroids: np.ndarray,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Alias of :func:`kmeans_assign` for the fit→predict idiom."""
+    return kmeans_assign(df, centroids, id_col, vec_col)
+
+
+def decimal_component(v: float) -> Decimal:
+    """The exact value Spark's ``cast(double AS DECIMAL(30,15))``
+    produces, for oracle replay: exact binary expansion rounded HALF_UP
+    to 15 fractional digits."""
+    return Decimal(float(v)).quantize(Decimal("1e-15"), rounding=ROUND_HALF_UP)

@@ -952,3 +952,38 @@ def repeated_span_rows(sf_dir: str, k: int = 8, min_count: int = 2) -> list[tupl
         ratio = _round_half_up(len(covered) / max(nw, 1), 6)
         out.append((did, nw, len(flagged), len(covered), ratio))
     return out
+
+
+def kmeans_rows(sf_dir: str, k: int = 8, iters: int = 3,
+                init_sample: int = 256) -> list[tuple]:
+    """(vec_id, cluster) — full distributed-k-means replay (engine:
+    operators/clustering.py): farthest-point init over the lowest-id
+    sample, then ``iters`` Lloyd rounds with DECIMAL(30,15) component
+    sums (the engine's partition-order-free exact update), argmin ties
+    to the lowest centroid index."""
+    import numpy as np
+
+    from datax_spark.operators.clustering import (
+        decimal_component, farthest_point_init)
+
+    emb = _load_pandas(sf_dir, "embeddings").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    M = np.array([[float(x) for x in v] for v in emb["embedding"]], dtype="float64")
+
+    C = farthest_point_init(M[:init_sample], k)
+    for _ in range(iters):
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        new = C.copy()
+        for c in range(k):
+            members = M[a == c]
+            if len(members) == 0:
+                continue
+            for d in range(C.shape[1]):
+                s = sum((decimal_component(v) for v in members[:, d]),
+                        start=__import__("decimal").Decimal(0))
+                new[c, d] = float(s) / len(members)
+        C = new
+    d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    return [(int(i), int(c)) for i, c in zip(ids, a)]
