@@ -602,6 +602,45 @@ def _q_ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_predict(emb, C).select("vec_id", "cluster")
 
 
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ 100 deterministic near-duplicates: ids 0-99 copied to
+    id+10000 with every component ×1.02 (colinear → cosine exactly ~1.0
+    with the original). The raw fixture's max pairwise cosine is 0.513,
+    so WITHOUT augmentation every ≥0.9 near-dup row is an empty-result
+    oracle that proves nothing. Mirrored in SQL (_EMB2_SQL) and in
+    pyref.kmeans_rows(augment=...) — double arithmetic on all three
+    sides (float→double widening is exact)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = emb.where(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.02).alias("embedding"),
+    )
+    return emb.unionByName(dup)
+
+
+_EMB2_SQL = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.02)
+  FROM embeddings WHERE vec_id < 100
+"""
+
+
+def _q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (operators/clustering.py::
+    semantic_dedup_pairs): all-pairs cosine confined WITHIN k-means
+    clusters — the O(n²) shrinks to Σ|cluster|². Oracle: the pyref
+    k-means assignment (bit-identical to the engine's) as a VALUES CTE,
+    joined in DuckDB with within-cluster cosine."""
+    from datax_spark.operators.clustering import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        _augmented_embeddings(spark, sf_dir), k=8, iters=3, threshold=0.9
+    )
+
+
 def _q_cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of dimension lookup against the SCD2 history (cdc/scd2.py::
     scd2_lookup_join): every event, shifted one day forward as a fact
@@ -847,16 +886,13 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-bucketed variant is the scale path (rows-only)."""
     from datax_spark.operators.similarity import cosine
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = _augmented_embeddings(spark, sf_dir)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine",
-            F.round(cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 4),
-        )
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cosine") >= 0.95)
         .select("id_a", "id_b", "cosine")
     )
@@ -1951,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stream_enrich": _q_cdc_stream_enrich,
         "cdc_scd2_lookup": _q_cdc_scd2_lookup,
         "ann_kmeans_clusters": _q_ann_kmeans_clusters,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -2415,12 +2452,13 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rank FROM scored)
             SELECT qid, vec_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 10
         """,
-        "emb_near_dup": """
+        "emb_near_dup": f"""
+            WITH emb2 AS ({_EMB2_SQL})
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-            FROM embeddings a CROSS JOIN embeddings b
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+            FROM emb2 a CROSS JOIN emb2 b
             WHERE a.vec_id < b.vec_id
-              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95
+              AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95
         """,
         "stream_source_const": """
             SELECT 'DataX' AS c0, CAST(1724154616370 AS BIGINT) AS c1,
@@ -3011,6 +3049,21 @@ def _pyref_oracles() -> dict[str, str]:
             pyref.kmeans_rows(sf_dir, k=8, iters=3),
             [("vec_id", "BIGINT"), ("cluster", "INT")],
         ),
+        "emb_semantic_dedup": f"""
+            WITH assign AS ({pyref.values_sql(
+                pyref.kmeans_rows(sf_dir, k=8, iters=3, augment=100),
+                [("vec_id", "BIGINT"), ("cluster", "INT")],
+            )}),
+            emb2 AS ({_EMB2_SQL})
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                   round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cosine
+            FROM emb2 x
+            JOIN assign ax ON x.vec_id = ax.vec_id
+            JOIN assign ay ON ax.cluster = ay.cluster
+            JOIN emb2 y ON y.vec_id = ay.vec_id
+            WHERE x.vec_id < y.vec_id
+              AND list_cosine_similarity(x.embedding, y.embedding) >= 0.9
+        """,
         "dedup_simhash": pyref.values_sql(
             pyref.simhash_rows(sf_dir),
             [("id", "BIGINT"), ("simhash", "BIGINT")],

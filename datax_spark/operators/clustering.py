@@ -38,7 +38,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-__all__ = ["farthest_point_init", "kmeans_assign", "kmeans_fit", "kmeans_predict"]
+__all__ = ["farthest_point_init", "kmeans_assign", "kmeans_fit",
+           "kmeans_predict", "semantic_dedup_pairs"]
 
 
 def farthest_point_init(X: np.ndarray, k: int) -> np.ndarray:
@@ -137,3 +138,41 @@ def decimal_component(v: float) -> Decimal:
     produces, for oracle replay: exact binary expansion rounded HALF_UP
     to 15 fractional digits."""
     return Decimal(float(v)).quantize(Decimal("1e-15"), rounding=ROUND_HALF_UP)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame, k: int = 8, iters: int = 3, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style near-duplicate pairs: all-pairs cosine confined
+    WITHIN k-means clusters (Abbas et al. 2023's observation — semantic
+    duplicates share a cluster, so the O(n²) comparison shrinks to
+    Σ|cluster|², and k is the knob trading recall for cost; pair with
+    the LSH path in ``operators/similarity.py`` when clusters are still
+    too large). Join is an equi-join on the cluster id; cosine runs
+    JVM-side (zip_with/aggregate — no Python per pair).
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold,
+    cosine rounded to 4 places (oracle-stable)."""
+    from datax_spark.operators.similarity import _dot, _norm
+
+    C = centroids if centroids is not None else kmeans_fit(
+        df, k, iters, id_col, vec_col)
+    tagged = df.select(id_col, vec_col).join(
+        kmeans_assign(df, C, id_col, vec_col), id_col)
+    left = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("cluster"),
+        F.col(vec_col).cast("array<double>").alias("_va"))
+    right = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("cluster"),
+        F.col(vec_col).cast("array<double>").alias("_vb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (
+        _norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        left.join(right, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

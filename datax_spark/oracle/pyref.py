@@ -955,7 +955,7 @@ def repeated_span_rows(sf_dir: str, k: int = 8, min_count: int = 2) -> list[tupl
 
 
 def kmeans_rows(sf_dir: str, k: int = 8, iters: int = 3,
-                init_sample: int = 256) -> list[tuple]:
+                init_sample: int = 256, augment: int = 0) -> list[tuple]:
     """(vec_id, cluster) — full distributed-k-means replay (engine:
     operators/clustering.py): farthest-point init over the lowest-id
     sample, then ``iters`` Lloyd rounds with DECIMAL(30,15) component
@@ -969,6 +969,14 @@ def kmeans_rows(sf_dir: str, k: int = 8, iters: int = 3,
     emb = _load_pandas(sf_dir, "embeddings").sort_values("vec_id")
     ids = emb["vec_id"].to_numpy()
     M = np.array([[float(x) for x in v] for v in emb["embedding"]], dtype="float64")
+    if augment:
+        # mirror __spark_entry__._augmented_embeddings: ids < augment
+        # duplicated to id+10000, components ×1.02 in double
+        sel = ids < augment
+        ids = np.concatenate([ids, ids[sel] + 10000])
+        M = np.vstack([M, M[sel] * 1.02])
+        order = np.argsort(ids, kind="stable")
+        ids, M = ids[order], M[order]
 
     C = farthest_point_init(M[:init_sample], k)
     for _ in range(iters):
