@@ -135,7 +135,15 @@ def _q_cdc_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     key — the out-of-order slice the LWW guard must absorb."""
     from pyspark.sql import Window as W
 
-    ch = _as_changes(load(spark, sf_dir, "events"))
+    # the synthetic events are ts-monotone per key, so detect over a
+    # deterministically-perturbed feed (every 7th event delivered with a
+    # 3-day-old event time) — an all-monotone input would make this an
+    # empty-result oracle that proves nothing
+    ch = _as_changes(load(spark, sf_dir, "events")).withColumn(
+        "ts",
+        F.when(F.col("lsn") % 7 == 0, F.col("ts") - F.expr("INTERVAL 3 DAYS"))
+        .otherwise(F.col("ts")),
+    )
     w = W.partitionBy("user_id").orderBy("lsn")
     tagged = ch.withColumn("_prev_ts", F.lag("ts").over(w))
     return (
@@ -2223,7 +2231,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT op, count(*) AS n_events, count(DISTINCT user_id) AS n_keys FROM ch GROUP BY op
         """,
         "cdc_out_of_order": f"""
-            WITH ch AS ({ch}),
+            WITH ch0 AS ({ch}),
+            ch AS (SELECT user_id, lsn,
+                          CASE WHEN lsn % 7 = 0 THEN ts - INTERVAL 3 DAY ELSE ts END AS ts
+                   FROM ch0),
             l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY lsn) AS prev_ts FROM ch)
             SELECT user_id, count(*) AS n_ooo FROM l
             WHERE prev_ts IS NOT NULL AND ts < prev_ts GROUP BY user_id

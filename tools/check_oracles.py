@@ -65,6 +65,7 @@ def main(selected: list[str] | None = None):
     oracles = entry_mod.oracle_sql()
     results = {}
     times: dict[str, float] = {}
+    row_counts: dict[str, int] = {}
     for name, fn in qs.items():
         if selected and name not in selected:
             continue
@@ -77,6 +78,7 @@ def main(selected: list[str] | None = None):
             print(f"{name:28s} SPARK-ERROR")
             continue
         times[name] = round(time.time() - t0, 2)
+        row_counts[name] = len(sdf)
         if name not in oracles:
             results[name] = ("ROWS-ONLY", len(sdf))
             print(f"{name:28s} ROWS-ONLY rows={len(sdf)}  ({time.time()-t0:.1f}s)")
@@ -107,9 +109,13 @@ def main(selected: list[str] | None = None):
         with open(TIMES_PATH, "w") as fh:
             json.dump(
                 {"sf_dir": SF_DIR, "spark_wall_sec": times,
+                 "rows": row_counts,
                  "total_sec": round(sum(times.values()), 2)},
                 fh, indent=1, sort_keys=False)
         print(f"[oracle-times] wrote {TIMES_PATH} total={sum(times.values()):.1f}s")
+        empty = sorted(n for n, c in row_counts.items() if c == 0)
+        if empty:
+            print(f"[oracle-times] EMPTY-RESULT rows (prove nothing): {empty}")
     fails = [k for k, v in results.items() if v[0] not in ("PASS", "ROWS-ONLY")]
     print(f"\n{len(results)} checked, {len(fails)} failing: {fails}")
     for k in fails:
