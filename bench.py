@@ -61,6 +61,9 @@ QUERY_NAMES = [
     "cdc_scd2_history",
     "heavy_hitters_partkey",
     "bloom_semi_join",
+    "ann_kmeans_clusters",
+    "emb_semantic_dedup",
+    "cdc_scd2_lookup",
 ]
 
 # dedup_exact regressed 0.42→0.98 s in BENCH_r03 with an UNCHANGED plan
