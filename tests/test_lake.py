@@ -310,3 +310,22 @@ def test_delete_where_tombstones_and_purge_where_erases(spark, tmp_table_root):
     assert untouched_now and untouched_now <= before_paths
     assert rewritten_now.isdisjoint(before_paths)
     assert t.read().count() == 89
+
+
+def test_stats_manifest_report(spark, tmp_table_root):
+    import datetime as _dt
+
+    t = _mk(spark, tmp_table_root, nb=4)
+    bulk_load(t, _pages(spark, 80))
+    upd = spark.createDataFrame(
+        [("https://x/3", _dt.datetime(2099, 1, 1), None, 900, "D"),
+         ("https://x/5", _dt.datetime(2099, 1, 1), "zz", 901, "U")],
+        "url string, warc_ts timestamp, lang string, lsn long, op string")
+    merge_into(t, upd, batch_id=1, merge_mode="mor")
+    s = t.load().stats()
+    assert s["files"]["base"] >= 1 and s["files"]["delta"] >= 1
+    assert s["records"]["base"] == 80 and s["records"]["delta"] == 2
+    assert s["tombstones"] == 1
+    assert s["num_buckets"] == 4 and s["snapshots"] == 2
+    assert s["worst_delta_amplification"] > 0
+    assert s["files_per_bucket"]["max"] >= s["files_per_bucket"]["min"] >= 1
