@@ -157,6 +157,13 @@ def scd2_lookup_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
     fk = fact_key_col or key_col
+    clash = (set(facts.columns) & set(history.columns)) - {key_col}
+    if clash:
+        raise ValueError(
+            f"fact/history column collision {sorted(clash)}: rename or "
+            f"project one side first (the join would produce ambiguous "
+            f"duplicate columns)"
+        )
     h = history.select(
         F.col(key_col).alias("_hk"),
         *[F.col(c) for c in history.columns if c != key_col],

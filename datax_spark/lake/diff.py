@@ -84,6 +84,12 @@ def table_diff(
     kb = key_col or (b.key_col if isinstance(b, LakeTable) else None)
     if ka is None or kb is None:
         raise ValueError("key_col required for plain DataFrames")
+    if set(ta.columns) != set(tb.columns):
+        raise ValueError(
+            f"column sets differ — diff compares content, not schemas: "
+            f"only in a: {sorted(set(ta.columns) - set(tb.columns))}, "
+            f"only in b: {sorted(set(tb.columns) - set(ta.columns))}"
+        )
 
     sa = bucket_signatures(a, ka, n_virtual).withColumnRenamed("sig", "sa") \
         .withColumnRenamed("n", "na")

@@ -70,8 +70,10 @@ def _assign_udf(centroids: np.ndarray):
 
 def kmeans_assign(df: DataFrame, centroids: np.ndarray,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, cluster) — nearest-centroid assignment, zero shuffle."""
-    return df.select(
+    """(id, cluster) — nearest-centroid assignment, zero shuffle. NULL
+    vectors carry no position and are dropped (mirrors the fit, which
+    never sees them either)."""
+    return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), _assign_udf(centroids)(F.col(vec_col)).alias("cluster")
     )
 
@@ -80,7 +82,7 @@ def _exact_update(df: DataFrame, centroids: np.ndarray, vec_col: str) -> np.ndar
     """One Lloyd update with order-free decimal component sums; empty
     clusters keep their previous centroid."""
     k, dim = centroids.shape
-    ex = df.select(
+    ex = df.where(F.col(vec_col).isNotNull()).select(
         _assign_udf(centroids)(F.col(vec_col)).alias("cluster"),
         F.posexplode(vec_col).alias("dim", "val"),
     )
@@ -116,7 +118,8 @@ def kmeans_fit(
     Deterministic end to end (see module docstring); cost per iteration
     is one corpus pass + a k×dim-bounded exchange."""
     rows = (
-        df.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(init_sample).collect()
+        df.where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col).orderBy(F.asc(id_col)).limit(init_sample).collect()
     )
     X = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
     if len(X) < k:

@@ -62,3 +62,12 @@ def test_farthest_point_init_shape():
     X = np.array([[0.0], [10.0], [5.0], [0.1]])
     C = farthest_point_init(X, 3)
     assert C.tolist() == [[0.0], [10.0], [5.0]]
+
+
+def test_null_vectors_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [10.0, 10.0])],
+        "vec_id long, embedding array<double>")
+    C = kmeans_fit(df, k=2, iters=1, init_sample=10)
+    got = kmeans_assign(df, C).collect()
+    assert sorted(r["vec_id"] for r in got) == [1, 3]

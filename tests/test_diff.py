@@ -64,3 +64,12 @@ def test_diff_pinpoints_and_repair_converges(spark, tmp_path):
 
     # empty-diff repair is a no-op
     assert repair(b.load(), d2, ts_col="warc_ts", batch_id=79) is None
+
+
+def test_diff_schema_mismatch_raises(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "x", 2)], "k long, v string, extra long")
+    with pytest.raises(ValueError, match="column sets differ"):
+        table_diff(a, b, key_col="k")

@@ -337,3 +337,13 @@ def test_scd2_lookup_join_version_in_force(spark):
     assert left.where(F.col("fid").isin(3, 5)).where(F.col("v").isNull()).count() == 2
     # uniqueness: never more than one version per fact
     assert scd2_lookup_join(facts, hist, "k", "fts").count() == 3
+
+
+def test_lookup_join_column_collision_raises(spark):
+    from datax_spark.cdc.scd2 import scd2_lookup_join
+
+    hist = scd2_snapshot(_feed(spark, [("a", 1, 10, "I", "v1")]), "k")
+    facts = spark.createDataFrame([("a", _t(2), "x")],
+                                  "k string, fts timestamp, v string")  # v clashes
+    with pytest.raises(ValueError, match="collision"):
+        scd2_lookup_join(facts, hist, "k", "fts")
