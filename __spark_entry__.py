@@ -597,6 +597,18 @@ def _q_cdc_changefeed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram substrate for quantiles (operators/
+    sketches.py::binned_counts): fixed-width bins over events.value —
+    unlike GK/t-digest state, bin counts are partition-order-free and
+    merge by per-bin sum, so shards/ticks union exactly. Oracle: the
+    same clamp/floor bin math in SQL."""
+    from datax_spark.operators.sketches import binned_counts
+
+    ev = load(spark, sf_dir, "events")
+    return binned_counts(ev, "value", lo=0.0, hi=1000.0, bins=64)
+
+
 def _q_ann_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (operators/clustering.py): broadcast-centroid
     Arrow argmin assignment + DECIMAL-exact order-free Lloyd updates —
@@ -1996,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_lookup": _q_cdc_scd2_lookup,
         "ann_kmeans_clusters": _q_ann_kmeans_clusters,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "events_value_histogram": _q_events_value_histogram,
         # --- r3 additions that had no driver row in CORRECTNESS_r03 ---
         "sketch_kmv_distinct": _q_sketch_kmv_distinct,
         "shard_tail_read": _q_shard_tail_read,
@@ -2121,6 +2134,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*) AS n_kept FROM u
             WHERE NOT EXISTS (SELECT 1 FROM b WHERE u.host = b.d OR u.host LIKE '%.' || b.d)
             GROUP BY host
+        """,
+        "events_value_histogram": """
+            SELECT LEAST(63, GREATEST(0,
+                     CAST(floor(CAST(value AS DOUBLE) / (1000.0 / 64)) AS INT))) AS bin,
+                   count(*) AS cnt
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1
         """,
         "cdc_scd2_lookup": f"""
             WITH ch AS ({ch}),

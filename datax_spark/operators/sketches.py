@@ -239,3 +239,55 @@ def heavy_hitters(df: DataFrame, cols: list[str], min_count: int,
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= thresh)
     )
+
+
+def binned_counts(df: DataFrame, col: str, lo: float, hi: float,
+                  bins: int = 256) -> DataFrame:
+    """(bin, cnt) — fixed-width histogram counts over [lo, hi).
+
+    The deterministic, MERGEABLE quantile substrate (union + per-bin sum
+    merges shards/ticks — what monitoring systems actually run): unlike
+    GK/t-digest sketches, the state does not depend on arrival or
+    partition order, so repeated runs, repartitionings, and the SQL
+    oracle agree exactly. One hash aggregate; the exchange carries ≤
+    bins+2 rows per task. Values below lo clamp to bin 0, at/above hi to
+    bin bins-1 (closed tails — mass is never dropped); NULLs carry no
+    mass. Bin width = (hi - lo) / bins bounds the quantile error."""
+    if not (hi > lo) or bins < 1:
+        raise ValueError(f"need hi > lo and bins >= 1; got {lo}, {hi}, {bins}")
+    w = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col).cast("double") - lo) / w).cast("int")),
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def binned_quantiles(counts: list[tuple[int, int]], qs: list[float],
+                     lo: float, hi: float, bins: int = 256) -> list[float]:
+    """Driver-side quantile estimates from collected (bin, cnt) rows:
+    for quantile q, find the bin holding the ceil(q·n)-th value and
+    linearly interpolate inside it. Deterministic given the counts."""
+    w = (hi - lo) / bins
+    tab = {int(b): int(c) for b, c in counts}
+    n = sum(tab.values())
+    if n == 0:
+        return [float("nan")] * len(qs)
+    out = []
+    for q in qs:
+        # rank rule: 1-based index floor(q·(n-1))+1 — deterministic,
+        # endpoints map to min/max
+        target = max(1, min(n, int(q * (n - 1)) + 1))
+        acc = 0
+        for b in range(bins):
+            c = tab.get(b, 0)
+            if acc + c >= target:
+                frac = (target - acc) / c
+                out.append(lo + (b + frac) * w)
+                break
+            acc += c
+    return out

@@ -125,3 +125,41 @@ def test_heavy_hitters_multi_col_and_nulls(spark):
     got = {(r["x"], r["y"]): r["n"]
            for r in heavy_hitters(df, ["x", "y"], 50).collect()}
     assert got == {("a", 1): 60, ("b", 1): 55}  # all-null keys carry no mass
+
+
+def test_binned_quantiles_bounded_error_and_mergeable(spark):
+    """Histogram quantiles land within one bin width of the exact
+    quantiles; two shard histograms merged by per-bin sum equal the
+    whole-table histogram (the mergeability contract)."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.sketches import binned_counts, binned_quantiles
+
+    df = spark.range(10_000).select(
+        (F.pmod(F.xxhash64("id"), 1000) / 10.0).alias("v"))  # ~uniform [0,100)
+    lo, hi, bins = 0.0, 100.0, 200
+    counts = [(r["bin"], r["cnt"])
+              for r in binned_counts(df, "v", lo, hi, bins).collect()]
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    est = binned_quantiles(counts, qs, lo, hi, bins)
+    exact = df.approxQuantile("v", qs, 0.0)
+    w = (hi - lo) / bins
+    assert all(abs(e - x) <= w for e, x in zip(est, exact)), (est, exact)
+
+    # mergeability: shard histograms sum to the global one
+    a = binned_counts(df.where(F.col("v") < 37), "v", lo, hi, bins).collect()
+    b = binned_counts(df.where(F.col("v") >= 37), "v", lo, hi, bins).collect()
+    merged = {}
+    for r in list(a) + list(b):
+        merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
+    assert merged == {r[0]: r[1] for r in counts}
+
+    # clamp tails: out-of-range mass lands in the edge bins, never lost
+    z = spark.createDataFrame([(-5.0,), (500.0,), (None,)], "v double")
+    zc = {r["bin"]: r["cnt"] for r in binned_counts(z, "v", lo, hi, bins).collect()}
+    assert zc == {0: 1, bins - 1: 1}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        binned_counts(df, "v", 10.0, 10.0, 4)
