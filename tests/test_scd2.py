@@ -347,3 +347,43 @@ def test_lookup_join_column_collision_raises(spark):
                                   "k string, fts timestamp, v string")  # v clashes
     with pytest.raises(ValueError, match="collision"):
         scd2_lookup_join(facts, hist, "k", "fts")
+
+
+def test_property_random_feeds_converge(spark, tmp_path):
+    """Property: for RANDOM change feeds (random ops incl. D-first and
+    D-runs, random ts collisions), random batch partitions, random
+    delivery orders, and random fold points, the incremental Scd2Table
+    equals the pure full-feed snapshot. Deterministic seeds — failures
+    reproduce."""
+    import random
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        keys = ["k%d" % i for i in range(6)]
+        rows = []
+        for lsn in range(40):
+            rows.append((
+                rng.choice(keys),
+                rng.randint(1, 25),             # day: deliberate ts ties
+                100 + lsn,
+                rng.choice(["I", "U", "U", "D"]),
+                "v%d" % lsn,
+            ))
+        rows = [(k, d, l, op, None if op == "D" else v)
+                for (k, d, l, op, v) in rows]
+
+        n_batches = rng.randint(2, 5)
+        batches = [[] for _ in range(n_batches)]
+        for r in rows:
+            batches[rng.randrange(n_batches)].append(r)
+        order = list(range(n_batches))
+        rng.shuffle(order)
+
+        t = Scd2Table.create(spark, str(tmp_path / f"p{seed}"), key_col="k")
+        for bid in order:
+            if batches[bid]:
+                t.append_changes(_feed(spark, batches[bid]), bid)
+            if rng.random() < 0.5:
+                t.materialize(fold=rng.random() < 0.5)
+        want = scd2_snapshot(_feed(spark, rows), "k")
+        assert _df_set(t.history()) == _df_set(want), f"seed {seed}"
