@@ -241,15 +241,29 @@ def run_stream(
             reader = reader.option("maxRowsPerTrigger", max_rows_per_trigger)
         stream = reader.load()
     elif source_format == "files":
-        reader = spark.readStream.schema(schema)
-        if max_files_per_trigger is not None:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        if max_bytes_per_trigger is not None:
-            # the reference's per-channel byte-rate throttle
-            # (Channel.java:176-239) mapped to admission control: size with
-            # split.trigger_byte_budget(trigger_interval, ...)
-            reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
-        stream = reader.parquet(source_dir)
+        # source_dir may be a LIST of directories — several independent
+        # change feeds (shard dirs, per-datacenter binlogs; the DataX
+        # multi-reader job.content analog) unioned into ONE fenced merge
+        # stream. Each dir is its own file source with its own offsets in
+        # the shared checkpoint; the LWW collapse downstream makes the
+        # union order-insensitive, so no cross-source coordination is
+        # needed beyond the batch fence they already share.
+        dirs = source_dir if isinstance(source_dir, (list, tuple)) else [source_dir]
+
+        def _reader():
+            r = spark.readStream.schema(schema)
+            if max_files_per_trigger is not None:
+                r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+            if max_bytes_per_trigger is not None:
+                # the reference's per-channel byte-rate throttle
+                # (Channel.java:176-239) mapped to admission control: size
+                # with split.trigger_byte_budget(trigger_interval, ...)
+                r = r.option("maxBytesPerTrigger", max_bytes_per_trigger)
+            return r
+
+        stream = _reader().parquet(dirs[0])
+        for d in dirs[1:]:
+            stream = stream.unionByName(_reader().parquet(d))
     else:
         raise ValueError(f"unknown source_format {source_format!r}")
     writer = (

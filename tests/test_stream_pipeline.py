@@ -166,3 +166,48 @@ def test_max_bytes_per_trigger_bounds_batches(spark, tmp_path):
     # budget math: explicit global cap wins; else channels × per-channel rate
     assert trigger_byte_budget(10.0, byte_limit_per_sec=1 << 20) == 10 << 20
     assert trigger_byte_budget(2.0, channels=4) == 8 << 20
+
+
+def test_multi_source_union_ingest(spark, tmp_path):
+    """Several change-feed directories (shard/DC binlogs) union into ONE
+    fenced merge stream: final state equals the LWW oracle over the
+    combined feed, through a mid-stream kill/resume (the checkpoint
+    holds per-source offsets)."""
+    base = str(tmp_path)
+    src_a, src_b, root, ckpt = (f"{base}/a", f"{base}/b",
+                                f"{base}/table", f"{base}/ckpt")
+    ch = changes_df(spark, 4000, n_keys=500, partitions=4).cache()
+    # interleaved slices with OVERLAPPING keys split across the two dirs
+    # (sliced by absolute lsn range — the shared helper assumes
+    # contiguous lsns and would drop half of a parity-filtered feed)
+    import glob as _glob
+    import shutil as _sh
+
+    for src, parity in ((src_a, 0), (src_b, 1)):
+        os.makedirs(src, exist_ok=True)
+        feed = ch.filter(F.col("lsn") % 2 == parity)
+        for i, (lo, hi) in enumerate([(0, 2000), (2000, 4001)]):
+            stg = f"{base}/stg{parity}_{i}"
+            feed.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)) \
+                .coalesce(1).write.parquet(stg)
+            _sh.move(_glob.glob(f"{stg}/part-*.parquet")[0],
+                     f"{src}/f{i:03d}.parquet")
+
+    schema = T.StructType(
+        [f for f in CHANGE_SCHEMA.fields if f.name not in ("lsn", "op")])
+    LakeTable.create(spark, root, schema, key_col="url", num_buckets=4)
+
+    run_stream(spark, [src_a, src_b], root, ckpt, max_files_per_trigger=1,
+               available_now=False, stop_after_batches=2, timeout_sec=180)
+    run_stream(spark, [src_a, src_b], root, ckpt, available_now=True,
+               timeout_sec=180)
+
+    t = LakeTable(spark, root).load()
+    assert t.read().count() == _expected_live(spark, ch)
+    ch.createOrReplaceTempView("_ms_ch")
+    oracle = spark.sql("""
+        SELECT url, max_by(lang, struct(warc_ts, lsn)) AS lang FROM _ms_ch
+        GROUP BY url HAVING max_by(op, struct(warc_ts, lsn)) <> 'D'""")
+    got = t.read().select("url", "lang")
+    assert got.exceptAll(oracle).count() == 0
+    assert oracle.exceptAll(got).count() == 0
