@@ -87,6 +87,7 @@ def run_stream(
     max_rows_per_trigger: int | None = None,
     canonicalize_key: bool = False,
     hooks: list | None = None,
+    pre_hooks: list | None = None,
     scd2_dir: str | None = None,
     scd2_materialize_every: int | None = None,
 ):
@@ -249,6 +250,31 @@ def run_stream(
         # union order-insensitive, so no cross-source coordination is
         # needed beyond the batch fence they already share.
         dirs = source_dir if isinstance(source_dir, (list, tuple)) else [source_dir]
+        # The ORDER of the dirs list is part of the checkpoint contract:
+        # Spark binds each union leg's file-source offset log to its
+        # POSITION (sources/0, sources/1, ...), so restarting with the
+        # list reordered / grown / shrunk silently mis-assigns offsets —
+        # re-delivery is LWW-absorbed, but a removed or swapped entry can
+        # SKIP files another source's log already claims as seen. Persist
+        # the list next to the epoch marker and fail loudly on drift; to
+        # change the source set, use a fresh checkpoint dir (full
+        # re-delivery, LWW-convergent).
+        sources_path = os.path.join(checkpoint_dir, "datax-sources.txt")
+        dirs_repr = "\n".join(str(d) for d in dirs)
+        if os.path.exists(sources_path):
+            with open(sources_path) as f:
+                prev = f.read()
+            if prev != dirs_repr:
+                raise ValueError(
+                    "source dir list differs from the one this checkpoint "
+                    "was created with (order matters: offsets bind by "
+                    f"position).\n  checkpoint: {prev.splitlines()}\n  "
+                    f"requested: {dirs_repr.splitlines()}\n"
+                    "Use a new checkpoint dir to change the source set."
+                )
+        else:
+            with open(sources_path, "w") as f:
+                f.write(dirs_repr)
 
         def _reader():
             r = spark.readStream.schema(schema)
@@ -271,17 +297,26 @@ def run_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+    job_doc = {
+        "source_dir": source_dir, "table_root": table_root,
+        "checkpoint_dir": checkpoint_dir, "stream_id": stream_id,
+        "source_format": source_format, "merge_mode": merge_mode,
+        "canonicalize_key": canonicalize_key,
+    }
+    # preHandler analog (JobContainer.java:109-110,312-341): runs before
+    # the query starts, same per-hook isolation as completion hooks
+    pre_hook_results = None
+    if pre_hooks:
+        from datax_spark.hooks import invoke_pre_hooks
+
+        pre_hook_results = invoke_pre_hooks(pre_hooks, job_doc)
 
     def _finish(q):
+        if pre_hook_results is not None:
+            q.datax_pre_hook_results = pre_hook_results
         if hooks:
             from datax_spark.hooks import invoke_hooks
 
-            job_doc = {
-                "source_dir": source_dir, "table_root": table_root,
-                "checkpoint_dir": checkpoint_dir, "stream_id": stream_id,
-                "source_format": source_format, "merge_mode": merge_mode,
-                "canonicalize_key": canonicalize_key,
-            }
             # THIS run's applied work only: seen['n'] also counts
             # fence-skipped batches, and read_metrics would surface a
             # PREVIOUS run's record when this run applied nothing — a

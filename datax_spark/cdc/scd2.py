@@ -253,12 +253,18 @@ class Scd2Table:
         False if the batch id was already committed (fence no-op).
 
         When a retention horizon is set (``materialize(retain_closed_
-        after=...)``), changes older than the horizon are refused: the
+        after=...)``), changes at or before the horizon are refused: the
         expired history they would interleave with is gone, so accepting
         them could fabricate wrong intervals (e.g. a pre-horizon late
         insert going "current" on a key whose closing delete was
-        expired). The retention contract is the standard pair:
-        horizon-expiry + an append watermark at the same horizon.
+        expired). The refused range (``ts <= horizon``) coincides
+        exactly with the expired range — materialize drops closed
+        intervals with ``valid_to_ts <= horizon`` and GCs dangling
+        deletes at ``ts <= horizon``, so a late change at exactly
+        ``ts == horizon`` can no longer interleave with an expired
+        same-timestamp closer/delete. The retention contract is the
+        standard pair: horizon-expiry + an append watermark at the same
+        horizon.
         """
         m = self._meta()
         if batch_id in m["applied"] or batch_id in m["folded"]:
@@ -267,11 +273,11 @@ class Scd2Table:
         if horizon is not None:
             ts = m["ts_col"]
             too_old = changes.where(
-                F.col(ts) < F.lit(horizon).cast("timestamp")
+                F.col(ts) <= F.lit(horizon).cast("timestamp")
             ).limit(1).count()
             if too_old:
                 raise ValueError(
-                    f"batch contains changes older than the retention "
+                    f"batch contains changes at or before the retention "
                     f"horizon {horizon}; expired history cannot be "
                     f"consistently re-interleaved"
                 )

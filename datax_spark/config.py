@@ -372,16 +372,20 @@ def pre_check(spark: SparkSession, cfg: JobConfig) -> dict:
     return {"ok": all(c["ok"] for c in checks), "checks": checks}
 
 
-def run_job(spark: SparkSession, config: str | JobConfig, hooks: list | None = None) -> dict:
+def run_job(spark: SparkSession, config: str | JobConfig,
+            hooks: list | None = None, pre_hooks: list | None = None) -> dict:
     """Execute a job config; returns a result/metrics dict.
 
     Lifecycle mirrors JobContainer phases: parse/validate → (dryRun:
-    explain + stop) → read → transform chain → write → report →
-    ``hooks`` (each ``callable(job_config_dict, result_dict)``, invoked
-    after the write with per-hook error isolation —
-    ``JobContainer.java:971-975`` / ``Hook.java:17-25``; outcomes land
-    in ``result["hooks"]``). The dryRun path stops before write and
-    invokes no hooks, like the reference's preCheck exit.
+    explain + stop) → ``pre_hooks`` (each ``callable(job_config_dict)``,
+    the ``preHandler`` plugin analog — ``JobContainer.java:109-110,
+    312-341``; outcomes land in ``result["pre_hooks"]``) → read →
+    transform chain → write → report → ``hooks`` (each
+    ``callable(job_config_dict, result_dict)``, invoked after the write
+    with per-hook error isolation — ``JobContainer.java:971-975`` /
+    ``Hook.java:17-25``; outcomes land in ``result["hooks"]``). The
+    dryRun path stops before write and invokes no hooks of either kind,
+    like the reference's preCheck exit.
     """
     cfg = config if isinstance(config, JobConfig) else JobConfig.from_json(config)
     if cfg.dry_run:
@@ -395,13 +399,20 @@ def run_job(spark: SparkSession, config: str | JobConfig, hooks: list | None = N
         )
         return {"dryRun": True, "preCheck": probes,
                 "schema": df.schema.simpleString(), "plan": plan}
+    job_doc = {"reader": cfg.reader, "writer": cfg.writer,
+               "transformers": cfg.transformers, "channels": cfg.channels}
+    pre_results = None
+    if pre_hooks:
+        from datax_spark.hooks import invoke_pre_hooks
+
+        pre_results = invoke_pre_hooks(pre_hooks, job_doc)
     df = _read(spark, cfg)
     df = _transform(df, cfg)
     result = _write(df, spark, cfg)
+    if pre_results is not None:
+        result["pre_hooks"] = pre_results
     if hooks:
         from datax_spark.hooks import invoke_hooks
 
-        job_doc = {"reader": cfg.reader, "writer": cfg.writer,
-                   "transformers": cfg.transformers, "channels": cfg.channels}
         result["hooks"] = invoke_hooks(hooks, job_doc, result)
     return result

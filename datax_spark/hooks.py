@@ -35,3 +35,23 @@ def invoke_hooks(hooks: list[Hook] | None, job_config: dict, metrics: dict) -> l
             results.append({"hook": name, "ok": False,
                             "error": f"{type(e).__name__}: {e}"})
     return results
+
+
+def invoke_pre_hooks(hooks: list | None, job_config: dict) -> list[dict]:
+    """Pre-job handler SPI — the ``JobContainer.preHandle`` analog
+    (``JobContainer.java:109-110,312-341`` loading the configured
+    handler plugin and calling ``preHandler(configuration)`` before the
+    job body). Each ``callable(job_config: dict)`` runs BEFORE read/
+    stream start with the same per-hook error isolation as
+    :func:`invoke_hooks`: a failing audit/setup handler is recorded
+    ({"hook", "ok", "error"}) and never blocks the job."""
+    results = []
+    for h in hooks or []:
+        name = getattr(h, "__name__", None) or type(h).__name__
+        try:
+            h(job_config)
+            results.append({"hook": name, "ok": True})
+        except Exception as e:  # noqa: BLE001 — hook isolation is the contract
+            results.append({"hook": name, "ok": False,
+                            "error": f"{type(e).__name__}: {e}"})
+    return results

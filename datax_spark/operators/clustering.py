@@ -25,6 +25,12 @@ Precision budget: DECIMAL(30,15) sums overflow above ~10^15 total
 magnitude per (cluster, dim) — at |component| ≤ 1 that is 10^15 rows per
 cluster; raise the precision (38,12) for pathological scales.
 
+k budget: both the closure-broadcast centroid matrix and the per-update
+driver sums are Θ(k·dim); ``MAX_CENTROID_COMPONENTS`` (2^23 ≈ 64 MB of
+float64) guards the design's honest ceiling with a ValueError instead
+of an OOM. SemDeDup-paper k (~10^5 at 768-dim) exceeds it — shard the
+corpus or use the LSH/IVF paths for that regime.
+
 Engine-added surface (the reference has no numeric compute at all);
 clustering is the standard precursor to semantic dedup / diversity
 sampling over training corpora.
@@ -78,28 +84,54 @@ def kmeans_assign(df: DataFrame, centroids: np.ndarray,
     )
 
 
+# Hard ceiling on k×dim: the assign UDF broadcasts the full float64
+# centroid matrix in its closure and each Lloyd update lands k×dim
+# decimal sums on the driver — both are Θ(k·dim) DRIVER-memory costs by
+# design. 2^23 components = 64 MB matrix / ~10^7 sum rows: comfortably
+# inside a default driver, an order of magnitude under trouble. At
+# SemDeDup-paper k (~10^5 × 768-dim ≈ 7.7·10^7) this design is the
+# wrong tool — shard the corpus (fit per shard) or use the IVF/LSH
+# paths in operators/similarity.py; the guard makes that a loud
+# ValueError instead of an executor/driver OOM.
+MAX_CENTROID_COMPONENTS = 1 << 23
+
+
+def _check_centroid_budget(k: int, dim: int) -> None:
+    if k * dim > MAX_CENTROID_COMPONENTS:
+        raise ValueError(
+            f"k*dim = {k}*{dim} = {k * dim} exceeds the broadcast-closure "
+            f"design ceiling ({MAX_CENTROID_COMPONENTS}); the centroid "
+            "matrix rides the assign UDF closure and the Lloyd update "
+            "collects k*dim sums to the driver. For extreme k, shard the "
+            "corpus or use the LSH/IVF paths in operators/similarity.py."
+        )
+
+
 def _exact_update(df: DataFrame, centroids: np.ndarray, vec_col: str) -> np.ndarray:
     """One Lloyd update with order-free decimal component sums; empty
-    clusters keep their previous centroid."""
+    clusters keep their previous centroid. The k×dim sums come back via
+    Arrow (``toPandas``) — columnar, ~10× lighter on the driver than
+    Row-object ``collect`` at large k."""
     k, dim = centroids.shape
+    _check_centroid_budget(k, dim)
     ex = df.where(F.col(vec_col).isNotNull()).select(
         _assign_udf(centroids)(F.col(vec_col)).alias("cluster"),
         F.posexplode(vec_col).alias("dim", "val"),
     )
-    rows = (
+    pdf = (
         ex.groupBy("cluster", "dim")
         .agg(
             F.sum(F.col("val").cast("double").cast("decimal(30,15)")).alias("s"),
             F.count("*").alias("n"),
         )
-        .collect()
+        .toPandas()
     )
     new = centroids.copy()
-    counts = {}
+    counts: dict[int, int] = {}
     sums: dict[tuple[int, int], Decimal] = {}
-    for r in rows:
-        sums[(int(r["cluster"]), int(r["dim"]))] = r["s"]
-        counts[int(r["cluster"])] = int(r["n"])
+    for c, d, s, n in zip(pdf["cluster"], pdf["dim"], pdf["s"], pdf["n"]):
+        sums[(int(c), int(d))] = s
+        counts[int(c)] = int(n)
     for c in range(k):
         n = counts.get(c)
         if not n:
@@ -122,6 +154,8 @@ def kmeans_fit(
         .select(id_col, vec_col).orderBy(F.asc(id_col)).limit(init_sample).collect()
     )
     X = np.array([[float(x) for x in r[vec_col]] for r in rows], dtype="float64")
+    if len(X):
+        _check_centroid_budget(k, X.shape[1])
     if len(X) < k:
         raise ValueError(f"need >= k={k} vectors to initialize, got {len(X)}")
     C = farthest_point_init(X, k)

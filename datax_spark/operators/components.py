@@ -16,10 +16,13 @@ standard O(log n)-round method that a plain min-label propagation
 - **small-star**: every node u points its smaller-or-equal neighbors
   and itself at that minimum.
 
-Each step is one groupBy(node) aggregate + one generator explode — no
-joins at all; rounds until the edge multiset is stable (checksum
-compare: count + bit_xor of xxhash64(src,dst) — exact, order-free). At
-fixpoint the edges form stars rooted at each component's minimum id.
+Each step is one constant-buffer min aggregate per node joined back
+onto the edge rows (hub-safe: no node's neighborhood is ever collected
+into one buffer — see ``_star_step``); rounds until the edge multiset
+is stable (checksum compare: count + bit_xor of xxhash64(src,dst) —
+exact, order-free). At fixpoint the edges form stars rooted at each
+component's minimum id; star roots of any degree are plain row sets, so
+there is no per-component member ceiling.
 
 Spark-specific care for ITERATIVE dataframes (where naive loops die at
 scale): each round's edge set is ``localCheckpoint``ed — without it the
@@ -49,26 +52,35 @@ def _star_step(e: DataFrame, large: bool) -> DataFrame:
     """One large-star (large=True) or small-star round.
 
     Works on the undirected neighborhood view (both directions) of the
-    current edge set; emits the new directed edge list u→min. One
-    exchange (groupBy u), no joins.
+    current edge set; emits the new directed edge list u→min.
+
+    Hub-safe formulation: m(u) = min(N(u) ∪ {u}) is a plain ``min``
+    aggregate (constant-size buffer) joined back onto the edge rows —
+    never ``collect_set``, which would materialize a high-degree hub's
+    ENTIRE neighborhood in one aggregation buffer (at 10^9 edges a web
+    boilerplate hub, or the final star's own root whose degree is its
+    whole component, is an executor OOM). Edge rows stream through the
+    join one at a time, so per-task memory is independent of degree;
+    this is what lets components grow past any fixed member ceiling.
     """
     both = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    grouped = both.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-    m = F.array_min(F.array_append(F.col("nbrs"), F.col("u")))
+    mins = both.groupBy("u").agg(F.min("v").alias("_mn"))
+    m = F.least(F.col("_mn"), F.col("u"))
+    joined = both.join(mins, "u").withColumn("m", m)
     if large:
         # u's strictly-larger neighbors each attach to m
-        targets = F.filter(F.col("nbrs"), lambda x: x > F.col("u"))
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("n"), "m")
     else:
         # u's smaller-or-equal neighbors AND u itself attach to m
-        targets = F.array_append(
-            F.filter(F.col("nbrs"), lambda x: x <= F.col("u")), F.col("u"))
-    out = (
-        grouped.select(m.alias("m"), F.explode(targets).alias("n"))
-        .filter(F.col("n") != F.col("m"))
+        out = joined.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("n"), "m"
+        ).unionAll(mins.select(F.col("u").alias("n"), m.alias("m")))
+    return (
+        out.filter(F.col("n") != F.col("m"))
         .select(F.col("n").alias("u"), F.col("m").alias("v"))
         .distinct()
     )
-    return out
 
 
 def connected_components(

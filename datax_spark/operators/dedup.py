@@ -166,6 +166,9 @@ def minhash_incremental_dedup(
     """
     pairs_c = minhash_incremental_pairs(new_df, corpus_index, text_col, id_col, **kw)
     dropped_c = pairs_c.select(F.col("new_id").alias("id"))
+    # broadcast_new steers only the corpus probe; the within-batch
+    # self-join has no broadcast side and doesn't accept the kwarg
+    kw.pop("broadcast_new", None)
     pairs_n = minhash_lsh_pairs(new_df, text_col, id_col, **kw)
     dropped_n = pairs_n.select(F.col("id_b").alias("id"))
     dropped = dropped_c.union(dropped_n).distinct()

@@ -273,6 +273,7 @@ def train_centroids_kmeans(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init_sample: int = 4096,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) trainer for IVF centroids.
 
@@ -285,31 +286,47 @@ def train_centroids_kmeans(
 
     Determinism: seeding is farthest-point (k-means++-style but with the
     deterministic argmax instead of sampling — first seed = lowest id,
-    each next = the vector with the smallest max-cosine to the chosen
-    seeds, ties → lowest id), and the mean accumulates in DECIMAL(28,12)
-    — associative-exact, so the trained centroids are independent of
-    partitioning (same property the curation pipeline uses for its
-    decimal averages). Empty clusters keep their previous centroid.
+    each next = the sample vector with the smallest max-cosine to the
+    chosen seeds, ties → lowest id), run in numpy over ONE bounded
+    collect of the ``max(init_sample, n_centroids)`` lowest-id vectors
+    (same shape as ``clustering.kmeans_fit``) — NOT a per-seed corpus
+    scan: the old formulation launched k−1 full orderBy().first() jobs,
+    a thousands-of-jobs init at IVF-realistic k ≈ √n. Seeds drawn from
+    a bounded prefix instead of the whole corpus only move the Lloyd
+    STARTING point; the iterations see every vector. The mean
+    accumulates in DECIMAL(28,12) — associative-exact, so the trained
+    centroids are independent of partitioning (same property the
+    curation pipeline uses for its decimal averages). Empty clusters
+    keep their previous centroid.
     """
+    import numpy as np
+
     spark = corpus.sparkSession
-    vecs = corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-    first = vecs.orderBy(F.asc(id_col)).first()
-    cents = [(0, [float(x) for x in first[1]])]
-    for j in range(1, n_centroids):
-        packed = F.broadcast(
-            spark.createDataFrame(cents, "cid int, cvec array<double>")
-            .agg(F.collect_list("cvec").alias("_cs"))
+    sample_n = max(int(init_sample), n_centroids)
+    rows = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .where(F.col(vec_col).isNotNull())
+        .orderBy(F.asc(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    if len(rows) < n_centroids:
+        raise ValueError(
+            f"need >= n_centroids={n_centroids} vectors to seed, got {len(rows)}"
         )
-        nxt = (
-            vecs.join(packed)
-            .withColumn(
-                "_maxcos",
-                F.array_max(F.transform(F.col("_cs"), lambda c: cosine(F.col("_v"), c))),
-            )
-            .orderBy(F.asc("_maxcos"), F.asc(id_col))
-            .first()
-        )
-        cents.append((j, [float(x) for x in nxt["_v"]]))
+    X = np.array([r["_v"] for r in rows], dtype="float64")
+    norms = np.linalg.norm(X, axis=1)
+    Xn = X / np.maximum(norms, 1e-300)[:, None]
+    chosen = [0]  # lowest id first (rows are id-sorted)
+    # max cosine of each sample vector to any chosen seed so far
+    maxcos = Xn @ Xn[0]
+    for _ in range(1, n_centroids):
+        # argmin is numpy's ties→lowest-index, matching the old
+        # orderBy(_maxcos asc, id asc).first() rule within the sample
+        i = int(np.argmin(maxcos))
+        chosen.append(i)
+        maxcos = np.maximum(maxcos, Xn @ Xn[i])
+    cents = [(j, [float(x) for x in X[i]]) for j, i in enumerate(chosen)]
     src = rebalance_for_cpu(corpus.select(id_col, vec_col)).withColumn(
         "_nv",
         F.transform(

@@ -202,10 +202,15 @@ def heavy_hitters(df: DataFrame, cols: list[str], min_count: int,
        only candidate keys (true heavies + collision lottery winners).
 
     Result is byte-identical to the naive plan — which is exactly what
-    the SQL oracle checks. Width trades driver memory for candidate
-    purity: collisions at width ≪ distinct-keys admit extra candidates
-    (cost), never wrong output. Hash positions are computed JVM-side;
-    the matrix gather is one Arrow-batched numpy min — no per-row python.
+    the SQL oracle checks. Rows whose key columns are ALL NULL carry no
+    CMS mass (:func:`cms_counts` skips them), so they bypass the
+    prefilter and go straight to the exact count — the all-NULL group is
+    reported iff the naive plan reports it, at the cost of that one
+    group always reaching the exchange. Width trades driver memory for
+    candidate purity: collisions at width ≪ distinct-keys admit extra
+    candidates (cost), never wrong output. Hash positions are computed
+    JVM-side; the matrix gather is one Arrow-batched numpy min — no
+    per-row python.
     """
     import numpy as np
     import pandas as pd
@@ -233,8 +238,7 @@ def heavy_hitters(df: DataFrame, cols: list[str], min_count: int,
     for c in cols[1:]:
         any_set = any_set | F.col(c).isNotNull()
     return (
-        df.filter(any_set)
-        .where(ge_udf(pos))
+        df.where(~any_set | ge_udf(pos))
         .groupBy(*cols)
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= thresh)

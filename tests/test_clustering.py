@@ -71,3 +71,15 @@ def test_null_vectors_dropped(spark):
     C = kmeans_fit(df, k=2, iters=1, init_sample=10)
     got = kmeans_assign(df, C).collect()
     assert sorted(r["vec_id"] for r in got) == [1, 3]
+
+
+def test_centroid_budget_guard(spark):
+    """k*dim above the broadcast-closure ceiling fails loudly (not an
+    executor/driver OOM): the centroid matrix rides the assign UDF
+    closure and each Lloyd update collects k*dim sums."""
+    from datax_spark.operators.clustering import MAX_CENTROID_COMPONENTS
+
+    df = _emb(spark, n=30)
+    too_many_k = MAX_CENTROID_COMPONENTS // 8 + 1  # dim=8 fixture
+    with pytest.raises(ValueError, match="ceiling"):
+        kmeans_fit(df, k=too_many_k, iters=1)

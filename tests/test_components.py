@@ -100,3 +100,22 @@ def test_random_graphs_match_union_find(spark):
         expect = sorted((n, find(n)) for n in nodes)
         got = sorted(map(tuple, connected_components(_edges(spark, pairs)).collect()))
         assert got == expect, f"seed {seed}"
+
+
+def test_pathological_giant_star_and_hub(spark):
+    """A single 120k-member star component (hub-degree = component size,
+    past the old collect_set design's documented ~1e5 ceiling): the
+    min-agg/join formulation converges without any per-node neighborhood
+    buffer, every member lands in component 0, and the root is its own
+    member. Also checks a long chain fused to the hub (forces the
+    large/small-star alternation to actually propagate)."""
+    n = 120_000
+    hub_edges = spark.range(1, n).select(
+        F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b"))
+    # chain n..n+49 hanging off member 1: 1-n, n-(n+1), ...
+    chain = [(1, n)] + [(n + i, n + i + 1) for i in range(49)]
+    chain_edges = spark.createDataFrame(chain, "id_a long, id_b long")
+    comp = connected_components(hub_edges.unionByName(chain_edges))
+    rows = comp.collect()
+    assert len(rows) == n + 50
+    assert {r["component"] for r in rows} == {0}

@@ -241,6 +241,18 @@ def test_incremental_dedup_vs_corpus_index(spark):
     )
     assert kept == [11, 12]  # 10 corpus-matched; 13 within-batch larger id
 
+    # broadcast_new=False (the documented backfill setting) must not
+    # leak into the within-batch self-join's kwargs — regression for a
+    # TypeError when the kwarg was forwarded to minhash_lsh_pairs
+    kept_nb = sorted(
+        r["doc_id"]
+        for r in minhash_incremental_dedup(
+            new, idx, "text", "doc_id", num_hashes=32, bands=8,
+            jaccard_threshold=0.5, broadcast_new=False,
+        ).collect()
+    )
+    assert kept_nb == kept
+
 
 def test_incremental_pairs_threshold_filters(spark):
     """Band-colliding but low-estimate pairs are filtered by threshold."""

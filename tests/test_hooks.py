@@ -156,3 +156,58 @@ def test_canonicalize_key_composes_with_user_pre_merge(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["url"] == "http://a.example/x"
     assert rows[0]["lang"] == "DE"
+
+
+def test_pre_hooks_run_before_job_body_both_entry_points(spark, tmp_path):
+    """preHandler SPI (JobContainer.java:109-110,312-341 analog): pre
+    hooks see the job config BEFORE any work, a failing pre hook never
+    blocks the job, and outcomes are recorded on both entry points."""
+    order = []
+
+    def pre_rec(job_doc):
+        order.append(("pre", job_doc["reader"]["name"]))
+
+    def pre_boom(job_doc):
+        raise RuntimeError("setup backend down")
+
+    def post_rec(job_doc, result):
+        order.append(("post", result["rows"]))
+
+    cfg = JobConfig.from_json(json.dumps({
+        "job": {
+            "setting": {"speed": {"channel": 2}},
+            "content": [{
+                "reader": {"name": "streamreader", "parameter": {
+                    "sliceRecordCount": 3,
+                    "column": [{"type": "string", "value": "X", "name": "c0"}]}},
+                "writer": {"name": "streamwriter", "parameter": {}},
+            }],
+        }
+    }))
+    out = run_job(spark, cfg, hooks=[post_rec], pre_hooks=[pre_rec, pre_boom])
+    assert out["rows"] == 6  # failing pre hook is log-and-continue
+    assert order[0] == ("pre", "streamreader") and order[-1] == ("post", 6)
+    assert out["pre_hooks"][0] == {"hook": "pre_rec", "ok": True}
+    assert out["pre_hooks"][1]["ok"] is False and "RuntimeError" in out["pre_hooks"][1]["error"]
+
+    # streaming entry point: pre hooks fire before the query starts
+    base = str(tmp_path)
+    src, root, ckpt = f"{base}/src", f"{base}/table", f"{base}/ckpt"
+    _seed_changes(spark, src, _mk_rows([
+        (1, "I", "http://a.example/x", "2024-01-01 00:00:00", "en"),
+    ]))
+    schema = T.StructType([f for f in CHANGE_SCHEMA.fields if f.name not in ("lsn", "op")])
+    LakeTable.create(spark, root, schema, key_col="url", num_buckets=2)
+    stream_order = []
+
+    def s_pre(job_doc):
+        stream_order.append(("pre", job_doc["table_root"]))
+
+    def s_post(job_doc, summary):
+        stream_order.append(("post", summary["batches_applied"]))
+
+    q = run_stream(spark, src, root, ckpt, available_now=True,
+                   timeout_sec=120, hooks=[s_post], pre_hooks=[s_pre, pre_boom])
+    assert stream_order[0] == ("pre", root) and stream_order[-1][0] == "post"
+    assert q.datax_pre_hook_results[0] == {"hook": "s_pre", "ok": True}
+    assert q.datax_pre_hook_results[1]["ok"] is False

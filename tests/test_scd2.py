@@ -271,6 +271,14 @@ def test_retention_expires_closed_versions(spark, tmp_path):
     with pytest.raises(ValueError, match="retention"):
         t.append_changes(_feed(spark, [("z", 2, 99, "I", "zz")]), 1)
 
+    # AT-horizon appends refused too: the expired range is
+    # valid_to_ts <= H / deletes at ts <= H, so an accepted ts == H
+    # change could interleave with an expired same-timestamp closer
+    # (e.g. a late open with lsn below the expired delete's lsn would
+    # wrongly become current). Refused range must coincide.
+    with pytest.raises(ValueError, match="retention"):
+        t.append_changes(_feed(spark, [("z", 6, 99, "I", "zz")]), 1)
+
     # post-horizon life continues: new change on a retained key converges
     t.append_changes(_feed(spark, [("a", 11, 50, "U", "v5")]), 2)
     t.materialize(fold=True)

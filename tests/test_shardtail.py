@@ -268,3 +268,33 @@ def test_footer_scan_is_cached_per_file(tmp_path, monkeypatch):
     _write_shard_file(root, 0, 99, [1, 2, 3])
     st._scan_shards(root)
     assert len(calls) == 1  # only the new file's footer
+
+    # COLD driver restart (in-memory cache gone): the persistent
+    # per-shard manifest sidecar answers every known file — zero footer
+    # reads — and the result is identical
+    calls.clear()
+    st._FOOTER_ROWS.clear()
+    cold = st._scan_shards(root)
+    assert calls == []
+    assert cold == st._scan_shards(root)
+    # cold restart + one NEW file: exactly one footer read (O(new files))
+    _write_shard_file(root, 1, 99, [7, 8])
+    st._FOOTER_ROWS.clear()
+    calls.clear()
+    st._scan_shards(root)
+    assert len(calls) == 1
+    # a corrupt sidecar degrades to footer reads, never fails the scan
+    import os as _os
+    mdir = _os.path.join(root, "_manifest")
+    for mf in _os.listdir(mdir):
+        with open(_os.path.join(mdir, mf), "w") as fh:
+            fh.write("{not json")
+    st._FOOTER_ROWS.clear()
+    calls.clear()
+    healed = st._scan_shards(root)
+    assert healed == cold or len(healed["1"]) == len(cold["1"]) + 1
+    assert len(calls) == 8  # all files re-read once; sidecar self-heals
+    st._FOOTER_ROWS.clear()
+    calls.clear()
+    st._scan_shards(root)
+    assert calls == []

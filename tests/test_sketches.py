@@ -124,7 +124,19 @@ def test_heavy_hitters_multi_col_and_nulls(spark):
     )
     got = {(r["x"], r["y"]): r["n"]
            for r in heavy_hitters(df, ["x", "y"], 50).collect()}
-    assert got == {("a", 1): 60, ("b", 1): 55}  # all-null keys carry no mass
+    assert got == {("a", 1): 60, ("b", 1): 55}  # all-null group under threshold
+
+    # the all-NULL key group carries no CMS mass but must still be
+    # reported when it clears min_count — byte-identity with the naive
+    # plan includes it (it bypasses the prefilter into the exact count)
+    got2 = {(r["x"], r["y"]): r["n"]
+            for r in heavy_hitters(df, ["x", "y"], 40).collect()}
+    assert got2 == {("a", 1): 60, ("b", 1): 55, (None, None): 40}
+    # partial-null keys DO carry CMS mass and prefilter normally
+    df3 = df.union(spark.createDataFrame([("c", None)] * 45, "x string, y int"))
+    got3 = {(r["x"], r["y"]): r["n"]
+            for r in heavy_hitters(df3, ["x", "y"], 45).collect()}
+    assert got3 == {("a", 1): 60, ("b", 1): 55, ("c", None): 45}
 
 
 def test_binned_quantiles_bounded_error_and_mergeable(spark):

@@ -211,3 +211,14 @@ def test_multi_source_union_ingest(spark, tmp_path):
     got = t.read().select("url", "lang")
     assert got.exceptAll(oracle).count() == 0
     assert oracle.exceptAll(got).count() == 0
+
+    # dir-list order is part of the checkpoint contract (offsets bind by
+    # position): a reordered / shrunk list against the same checkpoint
+    # must fail loudly, not silently mis-assign offset logs
+    import pytest as _pt
+    with _pt.raises(ValueError, match="source dir list"):
+        run_stream(spark, [src_b, src_a], root, ckpt,
+                   available_now=True, timeout_sec=60)
+    with _pt.raises(ValueError, match="source dir list"):
+        run_stream(spark, [src_a], root, ckpt,
+                   available_now=True, timeout_sec=60)
