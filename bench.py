@@ -64,6 +64,8 @@ QUERY_NAMES = [
     "ann_kmeans_clusters",
     "emb_semantic_dedup",
     "cdc_scd2_lookup",
+    # round-5 additions
+    "cdc_multi_source_union",
 ]
 
 # dedup_exact regressed 0.42→0.98 s in BENCH_r03 with an UNCHANGED plan
