@@ -2185,6 +2185,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return head | {k: v for k, v in base.items() if k not in head}
 
 
+# Plain-SQL oracles are free to build; the pyref-backed VALUES oracles
+# compute their rows in pure python AT DICT CONSTRUCTION — ~2 min total
+# at the gate's sf0.01, but hours at sf1 (minhash alone is ~10^8 python
+# xxh64 calls at 50k docs). SPARK_GRAFT_ORACLE_ONLY=<csv names> makes
+# oracle_sql() skip computing unselected python oracles (they return an
+# always-empty marker query); unset (the driver's path) computes all.
+_SKIPPED_ORACLE_SQL = "SELECT 1 AS _skipped_unselected_oracle WHERE 1 = 0"
+
+
+def _lazy(name: str, thunk):
+    only = os.environ.get("SPARK_GRAFT_ORACLE_ONLY")
+    if only:
+        selected = {x.strip() for x in only.split(",") if x.strip()}
+        if name not in selected:
+            return _SKIPPED_ORACLE_SQL
+    return thunk()
+
+
 def oracle_sql() -> dict[str, str]:
     ch = _CH_SQL
     return {
@@ -3119,62 +3137,62 @@ def _pyref_oracles() -> dict[str, str]:
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     return {
-        "doc_fingerprint": pyref.values_sql(
+        "doc_fingerprint": _lazy("doc_fingerprint", lambda: pyref.values_sql(
             pyref.fingerprint_rows(sf_dir),
             [("doc_id", "BIGINT"), ("fp", "BIGINT")],
-        ),
-        "cdc_canonical_merge": pyref.values_sql(
+        )),
+        "cdc_canonical_merge": _lazy("cdc_canonical_merge", lambda: pyref.values_sql(
             pyref.canonical_merge_rows(200),
             [("canon", "VARCHAR"), ("last_lsn", "BIGINT"), ("last_url", "VARCHAR"),
              ("last_ts", "VARCHAR"), ("last_value", "DOUBLE")],
-        ),
-        "hll_distinct_urls": pyref.values_sql(
+        )),
+        "hll_distinct_urls": _lazy("hll_distinct_urls", lambda: pyref.values_sql(
             pyref.hll_register_rows(sf_dir, p=6),
             [("bucket", "INTEGER"), ("max_rho", "INTEGER")],
-        ),
-        "dedup_components": pyref.values_sql(
+        )),
+        "dedup_components": _lazy("dedup_components", lambda: pyref.values_sql(
             pyref.components_rows(sf_dir, threshold=0.5),
             [("id", "BIGINT"), ("component", "BIGINT")],
-        ),
-        "dedup_components_keep": pyref.values_sql(
+        )),
+        "dedup_components_keep": _lazy("dedup_components_keep", lambda: pyref.values_sql(
             pyref.component_survivors_rows(sf_dir, threshold=0.5),
             [("doc_id", "BIGINT")],
-        ),
-        "sketch_cms_words": pyref.values_sql(
+        )),
+        "sketch_cms_words": _lazy("sketch_cms_words", lambda: pyref.values_sql(
             pyref.cms_word_rows(sf_dir, depth=4, width=64),
             [("d", "INTEGER"), ("bucket", "INTEGER"), ("cnt", "BIGINT")],
-        ),
-        "dedup_repeated_spans": pyref.values_sql(
+        )),
+        "dedup_repeated_spans": _lazy("dedup_repeated_spans", lambda: pyref.values_sql(
             pyref.repeated_span_rows(sf_dir, k=5, min_count=2),
             [("doc_id", "BIGINT"), ("n_words", "INTEGER"),
              ("n_dup_spans", "BIGINT"), ("n_covered_words", "BIGINT"),
              ("dup_ratio", "DOUBLE")],
-        ),
-        "dedup_minhash_lsh": pyref.values_sql(
+        )),
+        "dedup_minhash_lsh": _lazy("dedup_minhash_lsh", lambda: pyref.values_sql(
             pyref.minhash_pairs_rows(sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5),
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("jaccard_est", "DOUBLE")],
-        ),
-        "dedup_incremental_pairs": pyref.values_sql(
+        )),
+        "dedup_incremental_pairs": _lazy("dedup_incremental_pairs", lambda: pyref.values_sql(
             pyref.minhash_incremental_pairs_rows(
                 sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5, mod=5, rem=4
             ),
             [("new_id", "BIGINT"), ("corpus_id", "BIGINT"), ("jaccard_est", "DOUBLE")],
-        ),
-        "dedup_incremental_keep": pyref.values_sql(
+        )),
+        "dedup_incremental_keep": _lazy("dedup_incremental_keep", lambda: pyref.values_sql(
             pyref.minhash_incremental_keep_rows(
                 sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5, mod=5, rem=4
             ),
             [("doc_id", "BIGINT")],
-        ),
-        "doc_weighted_sample": pyref.values_sql(
+        )),
+        "doc_weighted_sample": _lazy("doc_weighted_sample", lambda: pyref.values_sql(
             pyref.weighted_sample_rows(sf_dir, k=25, salt=42),
             [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")],
-        ),
-        "ann_kmeans_clusters": pyref.values_sql(
+        )),
+        "ann_kmeans_clusters": _lazy("ann_kmeans_clusters", lambda: pyref.values_sql(
             pyref.kmeans_rows(sf_dir, k=8, iters=3),
             [("vec_id", "BIGINT"), ("cluster", "INT")],
-        ),
-        "emb_semantic_dedup": f"""
+        )),
+        "emb_semantic_dedup": _lazy("emb_semantic_dedup", lambda: f"""
             WITH assign AS ({pyref.values_sql(
                 pyref.kmeans_rows(sf_dir, k=8, iters=3, augment=100),
                 [("vec_id", "BIGINT"), ("cluster", "INT")],
@@ -3188,53 +3206,53 @@ def _pyref_oracles() -> dict[str, str]:
             JOIN emb2 y ON y.vec_id = ay.vec_id
             WHERE x.vec_id < y.vec_id
               AND list_cosine_similarity(x.embedding, y.embedding) >= 0.9
-        """,
-        "dedup_simhash": pyref.values_sql(
+        """),
+        "dedup_simhash": _lazy("dedup_simhash", lambda: pyref.values_sql(
             pyref.simhash_rows(sf_dir),
             [("id", "BIGINT"), ("simhash", "BIGINT")],
-        ),
-        "dedup_simhash_near": pyref.values_sql(
+        )),
+        "dedup_simhash_near": _lazy("dedup_simhash_near", lambda: pyref.values_sql(
             pyref.simhash_near_rows(sf_dir, radius=3),
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")],
-        ),
-        "ann_lsh_topk": pyref.values_sql(
+        )),
+        "ann_lsh_topk": _lazy("ann_lsh_topk", lambda: pyref.values_sql(
             pyref.ann_lsh_topk_rows(sf_dir, k=10, num_planes=6, num_tables=6),
             [("qid", "BIGINT"), ("vec_id", "BIGINT"), ("cosine", "DOUBLE"), ("rank", "INTEGER")],
-        ),
-        "emb_near_dup_lsh": pyref.values_sql(
+        )),
+        "emb_near_dup_lsh": _lazy("emb_near_dup_lsh", lambda: pyref.values_sql(
             pyref.emb_near_dup_lsh_rows(sf_dir, threshold=0.3, num_planes=8),
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")],
-        ),
-        "media_features": pyref.values_sql(
+        )),
+        "media_features": _lazy("media_features", lambda: pyref.values_sql(
             pyref.media_features_rows(200),
             [("media_id", "BIGINT"), ("kind", "VARCHAR"), ("n_bytes", "BIGINT"),
              ("checksum", "BIGINT"), ("fake_mean", "DOUBLE")],
-        ),
-        "media_frames": pyref.values_sql(
+        )),
+        "media_frames": _lazy("media_frames", lambda: pyref.values_sql(
             pyref.media_frames_rows(120, every_ms=1000),
             [("media_id", "BIGINT"), ("frame_idx", "INTEGER"), ("frame_hex", "VARCHAR")],
-        ),
-        "media_decode_features": pyref.values_sql(
+        )),
+        "media_decode_features": _lazy("media_decode_features", lambda: pyref.values_sql(
             pyref.media_decoded_rows(120),
             [("media_id", "BIGINT"), ("kind", "VARCHAR"), ("width", "INTEGER"),
              ("height", "INTEGER"), ("n_frames", "INTEGER"), ("n_samples", "INTEGER"),
              ("sample_rate", "INTEGER"), ("duration_ms", "INTEGER"),
              ("mean_luma", "DOUBLE"), ("rms", "DOUBLE"), ("peak", "INTEGER"),
              ("zcr", "DOUBLE"), ("thumb_checksum", "BIGINT")],
-        ),
-        "media_video_frames": pyref.values_sql(
+        )),
+        "media_video_frames": _lazy("media_video_frames", lambda: pyref.values_sql(
             pyref.media_video_frame_rows(120),
             [("media_id", "BIGINT"), ("frame_idx", "INTEGER"),
              ("frame_luma", "DOUBLE"), ("thumb_checksum", "BIGINT")],
-        ),
-        "dedup_minhash_keep": pyref.values_sql(
+        )),
+        "dedup_minhash_keep": _lazy("dedup_minhash_keep", lambda: pyref.values_sql(
             pyref.minhash_keep_rows(sf_dir, k_shingle=3, num_hashes=32, bands=8, threshold=0.5),
             [("doc_id", "BIGINT")],
-        ),
-        "ann_ivf_topk": pyref.values_sql(
+        )),
+        "ann_ivf_topk": _lazy("ann_ivf_topk", lambda: pyref.values_sql(
             pyref.ivf_topk_rows(sf_dir, k=10, n_centroids=16, n_probe=4),
             [("qid", "BIGINT"), ("vec_id", "BIGINT"), ("cosine", "DOUBLE"), ("rank", "INTEGER")],
-        ),
+        )),
         "shard_tail_read": f"""
             SELECT op, count(*) AS n_rows, CAST(sum(lsn) AS BIGINT) AS sum_lsn,
                    count(DISTINCT url) AS n_urls
@@ -3265,10 +3283,10 @@ def _pyref_oracles() -> dict[str, str]:
                    round(CAST(bagg.mx AS DOUBLE) / bagg.tot, 6) AS top_bigram_ratio
             FROM b JOIN wagg USING (doc_id) LEFT JOIN bagg USING (doc_id)
         """,
-        "url_canonicalize": pyref.values_sql(
+        "url_canonicalize": _lazy("url_canonicalize", lambda: pyref.values_sql(
             pyref.url_canon_rows(200),
             [("canon", "VARCHAR"), ("n_urls", "BIGINT"), ("min_id", "BIGINT")],
-        ),
+        )),
         "doc_unigram_logprob": """
             WITH w AS (
               SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS _w
@@ -3304,35 +3322,35 @@ def _pyref_oracles() -> dict[str, str]:
             WHERE doc_id % 101 <> 0
             GROUP BY doc_id
         """,
-        "doc_stratified_sample": pyref.values_sql(
+        "doc_stratified_sample": _lazy("doc_stratified_sample", lambda: pyref.values_sql(
             pyref.stratified_sample_rows(
                 sf_dir, "documents", "text", "lang",
                 {"en": 0.3, "de": 0.8}, default_fraction=1.0),
             [("lang", "VARCHAR"), ("n_rows", "BIGINT"), ("sum_ids", "BIGINT")],
-        ),
-        "doc_hash_split": pyref.values_sql(
+        )),
+        "doc_hash_split": _lazy("doc_hash_split", lambda: pyref.values_sql(
             pyref.hash_split_rows(sf_dir, "documents", "text",
                                   [("train", 0.8), ("val", 0.1), ("test", 0.1)]),
             [("split", "VARCHAR"), ("n_rows", "BIGINT"), ("sum_chars", "BIGINT")],
-        ),
-        "sketch_kmv_distinct": pyref.values_sql(
+        )),
+        "sketch_kmv_distinct": _lazy("sketch_kmv_distinct", lambda: pyref.values_sql(
             pyref.kmv_rows(sf_dir, "documents", "text", 128),
             [("k", "INTEGER"), ("n_kept", "INTEGER"),
              ("kth_hash", "BIGINT"), ("est_distinct", "DOUBLE")],
-        ),
-        "ann_pq_topk": pyref.values_sql(
+        )),
+        "ann_pq_topk": _lazy("ann_pq_topk", lambda: pyref.values_sql(
             pyref.pq_topk_rows(sf_dir, k=10, m=8, n_codes=16),
             [("qid", "BIGINT"), ("vec_id", "BIGINT"),
              ("adc_dist", "DOUBLE"), ("rank", "INTEGER")],
-        ),
-        "ann_pq_recall": pyref.values_sql(
+        )),
+        "ann_pq_recall": _lazy("ann_pq_recall", lambda: pyref.values_sql(
             pyref.pq_recall_rows(sf_dir, k=10, m=8, n_codes=16),
             [("n_queries", "INTEGER"), ("recall", "DOUBLE")],
-        ),
-        "ann_recall": pyref.values_sql(
+        )),
+        "ann_recall": _lazy("ann_recall", lambda: pyref.values_sql(
             pyref.ann_recall_rows(sf_dir, k=10, num_planes=6, num_tables=6),
             [("n_queries", "INTEGER"), ("recall", "DOUBLE")],
-        ),
+        )),
     }
 
 

@@ -35,7 +35,11 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry_mod  # noqa: E402
 from datax_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with SPARK_GRAFT_ORACLE_SF_DIR to run the identical protocol
+# at another scale (e.g. the tools/gen_sf.py sf1 fixtures); per-query
+# walls are persisted only for the default gate-budget sf0.01 run
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+_IS_DEFAULT_SF = SF_DIR == "/root/testdata/sf0.01"
 TIMES_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ORACLE_TIMES.json")
 
 
@@ -56,6 +60,10 @@ def frame_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main(selected: list[str] | None = None):
+    if selected:
+        # skip computing unselected python-backed VALUES oracles —
+        # at sf1 they are hours of eager pure-python work otherwise
+        os.environ["SPARK_GRAFT_ORACLE_ONLY"] = ",".join(selected)
     spark = get_spark(master="local[16]")
     con = duckdb.connect()
     for t in entry_mod.TABLES:
@@ -105,7 +113,7 @@ def main(selected: list[str] | None = None):
             for i in idx:
                 print(f"    spark: {a[i][:200]}")
                 print(f"    duck : {b[i][:200]}")
-    if not selected:  # full pass: persist per-query walls for gate-budget diagnosis
+    if not selected and _IS_DEFAULT_SF:  # full pass: persist per-query walls for gate-budget diagnosis
         with open(TIMES_PATH, "w") as fh:
             json.dump(
                 {"sf_dir": SF_DIR, "spark_wall_sec": times,
