@@ -418,10 +418,15 @@ def main() -> None:
         q_times.update(_shard_trickle(base))
 
         # ---- replay at 4N cores (this session); cow vs cow-latemat
-        # interleaved A/B rides the same timed reps
-        ab = _replay_ab(spark, f"{base}/changes", f"{base}/t4n", n_events)
-        t_4n = ab["cow"]
-        q_times["cdc_replay_4n_latemat"] = round(ab["cow-latemat"], 2)
+        # interleaved A/B rides the same timed reps. SKIP_LATEMAT=1 drops
+        # the (twice-rejected) latemat arm — used for the sf1 run where
+        # each replay rep costs ~10x and the A/B question is settled.
+        if os.environ.get("SPARK_GRAFT_BENCH_SKIP_LATEMAT"):
+            t_4n = _replay(spark, f"{base}/changes", f"{base}/t4n", n_events)
+        else:
+            ab = _replay_ab(spark, f"{base}/changes", f"{base}/t4n", n_events)
+            t_4n = ab["cow"]
+            q_times["cdc_replay_4n_latemat"] = round(ab["cow-latemat"], 2)
         t_4n_mor = _replay(spark, f"{base}/changes", f"{base}/t4nm", n_events,
                            merge_mode="mor")
         q_times["cdc_replay_4n_mor"] = round(t_4n_mor, 2)
