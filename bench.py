@@ -446,7 +446,10 @@ def main() -> None:
         child = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--replay-child",
              str(N_CORES_SMALL), f"{base}/changes", f"{base}/tn", str(n_events), "cow"],
-            capture_output=True, text=True, timeout=3600,
+            # child = warmup + 2 timed reps; at sf1 (32M events) each
+            # N-core rep runs ~1000 s, so a flat 3600 s cap is too tight
+            capture_output=True, text=True,
+            timeout=max(3600, int(n_events / 2000)),
         )
         if child.returncode != 0:
             sys.stderr.write(child.stderr[-4000:])

@@ -76,8 +76,10 @@ def _collapse_packed(ch, num_buckets: int):
     )
     return out.select(
         "url",
-        F.timestamp_seconds(F.col("_tslsn") / F.lit(1 << 32)).alias("warc_ts"),
-        F.pmod(F.col("_tslsn"), F.lit(1 << 32).cast("long")).alias("lsn"),
+        # decode with integer bit ops: `/` is DOUBLE division in Spark SQL
+        # and timestamp_seconds(double) keeps the fractional part
+        F.timestamp_seconds(F.shiftright(F.col("_tslsn"), 32)).alias("warc_ts"),
+        F.col("_tslsn").bitwiseAND(F.lit((1 << 32) - 1)).alias("lsn"),
         F.when(F.col("_lang_id") > 0,
                F.element_at(lang_arr, F.col("_lang_id").cast("int"))).alias("lang"),
         *[c for c in out.columns if c not in ("url", "_tslsn", "_lang_id")],
