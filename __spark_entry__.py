@@ -907,7 +907,13 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.operators.similarity import cosine
 
     emb = _augmented_embeddings(spark, sf_dir)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    # The broadcast-NLJ's parallelism is the STREAMED side's partition
+    # count; a one-file parquet read cross-joined as-is runs the whole
+    # n^2 HOF-cosine sweep in ONE task (observed: 20k x 20k at sf1
+    # pinned a single core for an hour). Spreading the streamed side
+    # over the cluster is the difference between n^2/cores and n^2.
+    a = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (
         a.crossJoin(b)
