@@ -31,6 +31,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
+from datax_spark.operators.util import rebalance_for_cpu
+
 
 def _as_matrix(pdf_col) -> np.ndarray:
     return np.stack(pdf_col.to_numpy()).astype("float64")
@@ -127,7 +129,8 @@ def encode(corpus: DataFrame, codebooks: np.ndarray,
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                 "codes": list(codes)})
 
-    return corpus.select(id_col, vec_col).mapInPandas(run, schema)
+    # per-row numpy work: spread a narrow (often single-file) scan first
+    return rebalance_for_cpu(corpus.select(id_col, vec_col)).mapInPandas(run, schema)
 
 
 def pq_topk(
@@ -184,7 +187,7 @@ def pq_topk(
                                 id_col: np.concatenate(out_i),
                                 "adc_dist": np.concatenate(out_d)})
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(run, schema)
+    scored = rebalance_for_cpu(corpus.select(id_col, vec_col)).mapInPandas(run, schema)
     w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -202,7 +205,7 @@ def pq_recall(
                      codebooks=codebooks, id_col=id_col, vec_col=vec_col,
                      qid_col=qid_col, qvec_col=qvec_col)
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("_qv"))
-    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    joined = rebalance_for_cpu(corpus.select(id_col, vec_col)).crossJoin(F.broadcast(q))
     l2 = F.sqrt(F.aggregate(
         F.zip_with(F.col(vec_col), F.col("_qv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x))
