@@ -1037,7 +1037,11 @@ def _q_cdc_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ch = _as_changes(load(spark, sf_dir, "events"))
     w = W.partitionBy("user_id").orderBy("ts", "lsn")
-    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800).cast("int")
+    # exact integer MICROSECONDS, not unix_timestamp: second-truncation
+    # silently fuses sessions whose gap is in (1800, 1801) s when
+    # timestamps carry sub-second parts (caught at sf1 — the sf0.1
+    # fixture is whole-second so the bug was invisible there)
+    gap = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000).cast("int")
     sess = ch.withColumn("new_sess", F.coalesce(gap, F.lit(1)))
     return sess.groupBy("user_id").agg(
         F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
@@ -2625,7 +2629,7 @@ def oracle_sql() -> dict[str, str]:
             l AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, lsn) AS prev
                   FROM ch),
             s AS (SELECT user_id,
-                         CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_sess
+                         CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_sess
                   FROM l)
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
             FROM s GROUP BY user_id
@@ -2652,10 +2656,13 @@ def oracle_sql() -> dict[str, str]:
               FROM base
             )
             SELECT doc_id,
-                   round(0.4 * least(n_tok / 100.0, 1.0)
+                   -- floor(x*1e4+0.5)/1e4, NOT round(): mirrors the
+                   -- engine's cross-engine-reproducible rounding (see
+                   -- functions/text.py::quality_score docstring)
+                   floor((0.4 * least(n_tok / 100.0, 1.0)
                        + 0.3 * alpha
                        + 0.2 * least(swr * 4, 1.0)
-                       + 0.1 * (1.0 - least(punct * 5, 1.0)), 4) AS quality
+                       + 0.1 * (1.0 - least(punct * 5, 1.0))) * 10000.0 + 0.5) / 10000.0 AS quality
             FROM sw
         """,
         "doc_lang_id": r"""
@@ -2710,12 +2717,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
               SELECT doc_id, text, w,
-                     round(0.4 * least(n_tok / 100.0, 1.0)
+                     floor((0.4 * least(n_tok / 100.0, 1.0)
                          + 0.3 * alpha
                          + 0.2 * least((CASE WHEN len(w) > 0 THEN
                              len(list_filter(w, x -> list_contains(['the','and','of','to','in','is','that','it','for','was'], x))) * 1.0 / len(w)
                            ELSE 0 END) * 4, 1.0)
-                         + 0.1 * (1.0 - least(punct * 5, 1.0)), 4) AS q
+                         + 0.1 * (1.0 - least(punct * 5, 1.0))) * 10000.0 + 0.5) / 10000.0 AS q
               FROM base
             ),
             filtered AS (SELECT * FROM scored WHERE q >= 0.5),

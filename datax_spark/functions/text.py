@@ -69,16 +69,24 @@ def stopword_ratio(col, lang: str = "en") -> Column:
 def quality_score(col) -> Column:
     """Composite document-quality score in [0,1]: favors mid-length docs
     with high alpha ratio, some stopwords, low punctuation excess.
-    Deterministic arithmetic only."""
+    Deterministic arithmetic only.
+
+    Rounding is ``floor(x*1e4 + 0.5)/1e4`` rather than ``F.round``:
+    Spark's ROUND converts the double through its SHORTEST decimal
+    representation (BigDecimal) before rounding while other engines
+    round the raw binary double, so scores one ULP from a .xxxx5
+    boundary disagree across engines (first observed at sf1: 0.4317 vs
+    0.4318 on 3 of 50k docs). The floor form is pure IEEE-754 ops —
+    bit-identical in any engine that evaluates the same expression."""
     n_tok = token_count(col)
     len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    return F.round(
+    raw = (
         F.lit(0.4) * len_score
         + F.lit(0.3) * alpha_ratio(col)
         + F.lit(0.2) * F.least(stopword_ratio(col) * 4, F.lit(1.0))
-        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))),
-        4,
+        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0)))
     )
+    return F.floor(raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
 
 
 def lang_id(col) -> Column:
