@@ -98,7 +98,16 @@ def _fresh_spark(cores: int):
             # storms don't serialize the timed region (measured: cold
             # JVMs spend 10s of seconds in minor-fault kernel time)
             "spark.driver.memory": "24g",
-            "spark.driver.extraJavaOptions": "-Xms24g -XX:+AlwaysPreTouch",
+            # GCLockerRetryAllocationCount: the sf1 run surfaced the JDK
+            # GCLocker-starvation lottery (spurious OOM in the parquet
+            # read-ahead thread with free heap, "Retried waiting for
+            # GCLocker too often") under heavy Arrow/snappy JNI critical
+            # sections; the default of 2 retries is far too few at 32
+            # concurrent tasks — see BENCH.md round-5 stability note.
+            "spark.driver.extraJavaOptions": (
+                "-Xms24g -XX:+AlwaysPreTouch "
+                "-XX:GCLockerRetryAllocationCount=64"
+            ),
         },
     )
 

@@ -18,6 +18,7 @@ all float reductions are sequential left folds exactly like
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 from decimal import ROUND_HALF_UP, Decimal
@@ -81,23 +82,7 @@ def minhash_pairs_rows(
     """(id_a, id_b, jaccard_est) — banded MinHash candidate pairs
     (engine: operators/dedup.py::minhash_lsh_pairs). Hash family: base =
     xxhash64(shingle string); permutation j = xxhash64(base_long, j)."""
-    docs = _load_pandas(sf_dir, "documents")
-    rows_per_band = num_hashes // bands
-    sigs: dict[int, list[int]] = {}
-    buckets: dict[tuple[int, int], list[int]] = {}
-    for r in docs.itertuples():
-        bases = [spark_xxhash64(("str", s)) for s in _shingles(r.text, k_shingle)]
-        sig = [
-            min(spark_xxhash64(("long", h), ("int", j)) for h in bases)
-            for j in range(num_hashes)
-        ]
-        did = int(r.doc_id)
-        sigs[did] = sig
-        for b in range(bands):
-            band_key = ",".join(
-                str(sig[b * rows_per_band + rr]) for rr in range(rows_per_band)
-            )
-            buckets.setdefault((b, spark_xxhash64(("str", band_key))), []).append(did)
+    sigs, buckets = _minhash_index(sf_dir, k_shingle, num_hashes, bands)
     pairs: set[tuple[int, int]] = set()
     for ids in buckets.values():
         ids = sorted(set(ids))
@@ -274,9 +259,13 @@ def minhash_keep_rows(
     return [(int(d),) for d in docs["doc_id"] if int(d) not in dropped]
 
 
+@functools.lru_cache(maxsize=4)
 def _minhash_index(sf_dir: str, k_shingle: int, num_hashes: int, bands: int):
-    """sigs dict + LSH buckets over ALL documents (shared by the
-    incremental-dedup oracles)."""
+    """sigs dict + LSH buckets over ALL documents (shared by ALL minhash
+    oracles — memoized because the signature pass is the expensive part:
+    ~len(text)·num_hashes pure-python xxh64 calls per doc, ~20 min at the
+    sf1 fixture's 50k docs, and four oracles need the identical index.
+    Callers treat the returned dicts as read-only."""
     docs = _load_pandas(sf_dir, "documents")
     rows_per_band = num_hashes // bands
     sigs: dict[int, list[int]] = {}
