@@ -106,6 +106,7 @@ def _fresh_spark(cores: int):
             # concurrent tasks — see BENCH.md round-5 stability note.
             "spark.driver.extraJavaOptions": (
                 "-Xms24g -XX:+AlwaysPreTouch "
+                "-XX:+UnlockDiagnosticVMOptions "
                 "-XX:GCLockerRetryAllocationCount=64"
             ),
         },

@@ -1,0 +1,179 @@
+"""North-rule scaling evidence through the REAL cluster entry point.
+
+The rule says: "run via spark-submit --py-files on a multi-executor
+cluster at two cluster sizes (N and 4N executors) with throughput
+scaling efficiency >= 0.8". ``bench.py`` measures N-vs-4N in-process
+pyspark sessions; THIS tool runs the identical bounded replay through
+``spark-submit --py-files dist/datax_spark.zip`` child processes — the
+exact invocation a cluster operator would use (reference analog:
+``core/src/main/bin/datax.py`` launching the packaged engine), with the
+repo scrubbed from PYTHONPATH so ``datax_spark.*`` resolves ONLY from
+the shipped archive, on the driver and inside the Arrow UDF workers.
+
+No real multi-node cluster exists in this sandbox, so "two cluster
+sizes" is evidenced as two parallelism levels (``local[N]`` /
+``local[4N]``) per the documented plan in BASELINE.md: same input
+bytes, fresh JVM per size, efficiency = (T_N / T_4N) / 4.
+
+Usage::
+
+    python tools/submit_scaling.py [n_events] [n_small] [n_big]
+
+Defaults: 3,200,000 events (the sf0.1 bench scale), 8 and 32 cores.
+Prints ONE JSON line compatible with BENCH.md's scaling table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The runner executed by each spark-submit child: builds its session from
+# the submit-provided conf, then runs bench.py's replay protocol (warmup
+# replay into a throwaway table, then 2 timed reps, min) — duplicated
+# here rather than imported because the child's python path contains ONLY
+# the zip: proving the packaged artifact is self-sufficient is the point.
+RUNNER = r'''
+import json, shutil, sys, time
+from pyspark.sql import SparkSession, functions as F, types as T
+
+spark = SparkSession.builder.getOrCreate()
+from datax_spark.cdc.apply import apply_changes
+from datax_spark.functions.extract import with_enrichment
+from datax_spark.lake.table import LakeTable
+
+input_path, table_root, n_events = sys.argv[1], sys.argv[2], int(sys.argv[3])
+N_BATCHES, NUM_BUCKETS = 2, 64
+schema = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("html", T.BinaryType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+    T.StructField("lang_id", T.StringType(), True),
+    T.StructField("n_tokens", T.LongType(), True),
+    T.StructField("quality", T.DoubleType(), True),
+    T.StructField("fp", T.LongType(), True),
+])
+ch = spark.read.parquet(input_path)
+wt = LakeTable.create(spark, table_root + "_warm", schema, key_col="url",
+                      num_buckets=NUM_BUCKETS)
+apply_changes(wt, ch, batch_id=0, transform=with_enrichment)
+shutil.rmtree(table_root + "_warm", ignore_errors=True)
+per = n_events // N_BATCHES
+times = []
+for rep in range(2):
+    t = LakeTable.create(spark, f"{table_root}_r{rep}", schema, key_col="url",
+                         num_buckets=NUM_BUCKETS)
+    t0 = time.time()
+    for b in range(N_BATCHES):
+        hi = (b + 1) * per if b < N_BATCHES - 1 else n_events + 1
+        batch = ch.filter((F.col("lsn") > b * per) & (F.col("lsn") <= hi))
+        apply_changes(t, batch, batch_id=b, transform=with_enrichment)
+    times.append(time.time() - t0)
+    shutil.rmtree(f"{table_root}_r{rep}", ignore_errors=True)
+print("SUBMIT_REPLAY " + json.dumps({"replay_sec": min(times)}))
+'''
+
+
+def _find_spark_submit() -> str:
+    p = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    if not os.path.exists(p):
+        raise SystemExit("no spark-submit on this host")
+    return p
+
+
+def _submit_replay(submit: str, zip_path: str, runner: str, cores: int,
+                   input_path: str, table_root: str, n_events: int,
+                   workdir: str) -> float:
+    env = dict(os.environ, PYTHONPATH="")  # zip must be the only source
+    r = subprocess.run(
+        [
+            submit,
+            "--master", f"local[{cores}]",
+            "--conf", f"spark.sql.shuffle.partitions={cores * 4}",
+            "--conf", "spark.sql.session.timeZone=UTC",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.memory=24g",
+            "--conf", ("spark.driver.extraJavaOptions="
+                       "-Xms24g -XX:+AlwaysPreTouch "
+                       "-XX:+UnlockDiagnosticVMOptions "
+                       "-XX:GCLockerRetryAllocationCount=64"),
+            "--conf", f"spark.local.dir={workdir}/spark_local",
+            "--py-files", zip_path,
+            runner, input_path, table_root, str(n_events),
+        ],
+        capture_output=True, text=True, cwd=workdir, env=env,
+        timeout=max(3600, n_events // 1000),
+    )
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-6000:])
+        raise SystemExit(f"spark-submit local[{cores}] failed rc={r.returncode}")
+    line = next(l for l in r.stdout.splitlines() if l.startswith("SUBMIT_REPLAY "))
+    return json.loads(line[len("SUBMIT_REPLAY "):])["replay_sec"]
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 3_200_000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    submit = _find_spark_submit()
+
+    base = tempfile.mkdtemp(prefix="datax_submit_scaling_", dir="/dev/shm")
+    try:
+        sys.path.insert(0, REPO)
+        from tools.package import build
+
+        zip_path = build(os.path.join(base, "dist"))
+        runner = os.path.join(base, "runner.py")
+        with open(runner, "w") as f:
+            f.write(RUNNER)
+
+        # deterministic input written once by a plain local session,
+        # shared bytes for both submit children
+        from datax_spark.cdc.generator import changes_df
+        from datax_spark.session import get_spark
+
+        spark = get_spark(master=f"local[{n_big}]",
+                          app_name="submit_scaling_gen")
+        # html_paragraphs=20 = bench.py's HTML_PARAGRAPHS (~2.8 KB pages),
+        # so the per-event numbers are directly comparable to BENCH.md
+        changes_df(spark, n_events, n_keys=max(1000, n_events // 4),
+                   partitions=n_big, html_paragraphs=20,
+                   ).write.parquet(f"{base}/changes")
+        spark.stop()
+        time.sleep(1)
+
+        t_big = _submit_replay(submit, zip_path, runner, n_big,
+                               f"{base}/changes", f"{base}/t4n", n_events, base)
+        t_small = _submit_replay(submit, zip_path, runner, n_small,
+                                 f"{base}/changes", f"{base}/tn", n_events, base)
+        ratio = n_big / n_small
+        out = {
+            "metric": "spark_submit_replay_scaling",
+            "entry": "spark-submit --py-files dist/datax_spark.zip",
+            "n_change_events": n_events,
+            "scaling": {
+                "n_cores": n_small,
+                "4n_cores": n_big,
+                "t_n_sec": round(t_small, 2),
+                "t_4n_sec": round(t_big, 2),
+                "efficiency": round((t_small / t_big) / ratio, 3),
+            },
+            "events_per_sec_4n": round(n_events / t_big),
+            "events_per_sec_n": round(n_events / t_small),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
