@@ -42,14 +42,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # the zip: proving the packaged artifact is self-sufficient is the point.
 RUNNER = r'''
 import json, shutil, sys, time
-from pyspark.sql import SparkSession, functions as F, types as T
+from pyspark.sql import functions as F, types as T
 
-spark = SparkSession.builder.getOrCreate()
+input_path, table_root, n_events, cores = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+# Session via the PACKAGED factory — the session-level tuning
+# (zstd shuffle codec, AQE, Arrow batch cap for KB-scale html rows)
+# is part of the engine, so the packaged entry point must carry it
+# too; a bare getOrCreate() here measured 0.45 efficiency purely
+# because the children silently ran lz4 + 10k-row Arrow batches.
+# Mirrors bench.py's _session (cores*4 shuffle partitions).
+from datax_spark.session import get_spark
+
+spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores * 4,
+                  app_name=f"submit_replay_{cores}")
 from datax_spark.cdc.apply import apply_changes
 from datax_spark.functions.extract import with_enrichment
 from datax_spark.lake.table import LakeTable
 
-input_path, table_root, n_events = sys.argv[1], sys.argv[2], int(sys.argv[3])
 N_BATCHES, NUM_BUCKETS = 2, 64
 schema = T.StructType([
     T.StructField("url", T.StringType(), False),
@@ -98,9 +108,8 @@ def _submit_replay(submit: str, zip_path: str, runner: str, cores: int,
         [
             submit,
             "--master", f"local[{cores}]",
-            "--conf", f"spark.sql.shuffle.partitions={cores * 4}",
-            "--conf", "spark.sql.session.timeZone=UTC",
-            "--conf", "spark.ui.enabled=false",
+            # session-level confs come from the packaged get_spark inside
+            # the runner; only JVM-launch-level settings belong here
             "--conf", "spark.driver.memory=24g",
             "--conf", ("spark.driver.extraJavaOptions="
                        "-Xms24g -XX:+AlwaysPreTouch "
@@ -108,7 +117,7 @@ def _submit_replay(submit: str, zip_path: str, runner: str, cores: int,
                        "-XX:GCLockerRetryAllocationCount=64"),
             "--conf", f"spark.local.dir={workdir}/spark_local",
             "--py-files", zip_path,
-            runner, input_path, table_root, str(n_events),
+            runner, input_path, table_root, str(n_events), str(cores),
         ],
         capture_output=True, text=True, cwd=workdir, env=env,
         timeout=max(3600, n_events // 1000),
