@@ -1379,6 +1379,47 @@ def _q_cdc_canonical_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_zone_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map range scan (lake/table.py cluster_by + scan_zone): the
+    events table is bulk-loaded into a bucketed LakeTable (bucket layout
+    answers KEY lookups but scatters time ranges across every file),
+    clustered by ts so each file covers a narrow time slice with its
+    min/max recorded in the manifest, then a week-long window is read
+    through scan_zone — files that provably miss the window are skipped
+    from pure manifest math before any footer is opened. The callable
+    asserts the prune plan actually skipped files, so this row pins the
+    skipping, not just the values. Oracle: plain SQL range filter."""
+    import datetime
+
+    from datax_spark.lake.merge import bulk_load
+    from datax_spark.lake.table import LakeTable
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    root = os.path.join(tempfile.mkdtemp(prefix="datax_zone_scan_"), "t")
+    table = LakeTable.create(spark, root, schema, key_col="event_id", num_buckets=4)
+    bulk_load(table, ev)
+    # ~32 files over the 30-day span -> a 5-day window prunes most of them
+    table.cluster_by("ts", max_records_per_file=max(200, ev.count() // 32))
+    lo = datetime.datetime(2024, 1, 3)
+    hi = datetime.datetime(2024, 1, 8)
+    kept, pruned = table.zone_prune_plan(lo, hi)
+    if not pruned:
+        raise AssertionError(
+            f"zone pruning skipped nothing ({len(kept)} files kept)")
+    # value passes through untouched (no round): both engines read the
+    # identical parquet doubles, so any transform is pure mismatch risk
+    return table.scan_zone(lo, hi).select(
+        "event_id", F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        "event_type", "value",
+    )
+
+
 def _bucket_fixture_table(spark: SparkSession, sf_dir: str):
     """MoR LakeTable of the events binlog (4 LSN-quartile delta batches),
     built once per (machine, sf_dir) under the temp dir — the shared
@@ -2052,11 +2093,13 @@ def _q_cdc_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the deepest driver history (window_customer_rank,
 # stream_source_const, split_range_assign, each green in r1+r2+r3),
 # which stay outside the window so everything else fits. After r5,
-# r04 ∪ r05 covers 102/103 entries and every query has at least one
-# driver row across rounds.
+# r04 ∪ r05 covers 102/104 entries and every query has at least one
+# driver row across rounds (q18_large_orders yields its slot to the
+# round-5-new events_zone_scan; q18 keeps its r1-r3 driver greens).
 _R5_WINDOW = [
     "q20_potential_promotion", "q21_suppliers_waiting",
     "q22_global_sales_opp", "cdc_multi_source_union",
+    "events_zone_scan",
     "cdc_lww_final_state", "cdc_tombstones", "cdc_op_mix",
     "cdc_out_of_order", "cdc_multiver_fanout", "cdc_cell_merge",
     "dx_string_transforms", "dx_filter_digest", "doc_token_stats",
@@ -2072,7 +2115,7 @@ _R5_WINDOW = [
     "setops_custkeys", "customers_without_orders",
     "asof_enrich_events", "q1_pricing_summary", "q3_shipping",
     "q5_local_supplier", "q6_forecast_revenue", "q14_promo_revenue",
-    "q10_returned_items", "q18_large_orders",
+    "q10_returned_items",
 ]
 
 
@@ -2083,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relative order after it.
     base = {
         "cdc_multi_source_union": _q_cdc_multi_source_union,
+        # --- round-5 addition ---
+        "events_zone_scan": _q_events_zone_scan,
         # --- round-4 late additions (driver-unverified) ---
         "dedup_incremental_pairs": _q_dedup_incremental_pairs,
         "dedup_incremental_keep": _q_dedup_incremental_keep,
@@ -2362,6 +2407,14 @@ def oracle_sql() -> dict[str, str]:
                    round(value, 4) AS last_value,
                    strftime(ts, '{_TS_FMT_DUCK}') AS last_ts
             FROM r WHERE rn = 1 AND op <> 'D'
+        """,
+        # zone-map scan == plain range filter; the file skipping itself
+        # is asserted inside the Spark callable (raises if nothing pruned)
+        "events_zone_scan": f"""
+            SELECT event_id, strftime(ts, '{_TS_FMT_DUCK}') AS ts_s,
+                   event_type, value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-03' AND ts <= TIMESTAMP '2024-01-08'
         """,
         "cdc_tombstones": f"""
             WITH ch AS ({ch}),

@@ -66,6 +66,7 @@ QUERY_NAMES = [
     "cdc_scd2_lookup",
     # round-5 additions
     "cdc_multi_source_union",
+    "events_zone_scan",
 ]
 
 # dedup_exact regressed 0.42→0.98 s in BENCH_r03 with an UNCHANGED plan
@@ -377,7 +378,28 @@ def _host_calibration() -> dict:
     with mp.Pool(16) as p:
         p.map(_calibration_burn, range(16))
     par16 = time.time() - t0
-    return {"single_core_sec": round(single, 2), "parallel16_sec": round(par16, 2)}
+    # fixed TOTAL work at the two scaling widths: the host's own maximum
+    # N->4N speedup in THIS window (pure CPU, zero shared state, no
+    # Spark) — the physical ceiling any engine scaling number is graded
+    # against. On real hardware this is ~4.0; on this shared box it has
+    # measured 2.6-3.0 (the documented DRAM/hypervisor ceiling).
+    units = 64
+    t0 = time.time()
+    with mp.Pool(N_CORES_SMALL) as p:
+        p.map(_calibration_burn, range(units))
+    burn_n = time.time() - t0
+    t0 = time.time()
+    with mp.Pool(CPUS) as p:
+        p.map(_calibration_burn, range(units))
+    burn_4n = time.time() - t0
+    return {
+        "single_core_sec": round(single, 2),
+        "parallel16_sec": round(par16, 2),
+        f"burn64_{N_CORES_SMALL}w_sec": round(burn_n, 2),
+        f"burn64_{CPUS}w_sec": round(burn_4n, 2),
+        # max t_N/t_4N the host can physically deliver in this window
+        "host_speedup_n_to_4n": round(burn_n / burn_4n, 3),
+    }
 
 
 def main() -> None:
@@ -453,21 +475,34 @@ def main() -> None:
         time.sleep(1)
         import subprocess
 
-        child = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--replay-child",
-             str(N_CORES_SMALL), f"{base}/changes", f"{base}/tn", str(n_events), "cow"],
-            # child = warmup + 2 timed reps; at sf1 (32M events) each
-            # N-core rep runs ~1000 s, so a flat 3600 s cap is too tight
-            capture_output=True, text=True,
-            timeout=max(3600, int(n_events / 2000)),
-        )
-        if child.returncode != 0:
-            sys.stderr.write(child.stderr[-4000:])
-            raise RuntimeError(f"N-core replay child failed rc={child.returncode}")
-        t_n = json.loads(child.stdout.strip().splitlines()[-1])["replay_sec"]
+        def _n_core_child(mode: str, root: str) -> float:
+            child = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--replay-child",
+                 str(N_CORES_SMALL), f"{base}/changes", root, str(n_events), mode],
+                # child = warmup + 2 timed reps; at sf1 (32M events) each
+                # N-core rep runs ~1000 s, so a flat 3600 s cap is too tight
+                capture_output=True, text=True,
+                timeout=max(3600, int(n_events / 2000)),
+            )
+            if child.returncode != 0:
+                sys.stderr.write(child.stderr[-4000:])
+                raise RuntimeError(
+                    f"N-core {mode} replay child failed rc={child.returncode}")
+            return json.loads(child.stdout.strip().splitlines()[-1])["replay_sec"]
+
+        t_n = _n_core_child("cow", f"{base}/tn")
+        # MoR arm at N too: the north metric is MERGE throughput scaling,
+        # and mor is the merge mode a sustained 10^10-event tail would run
+        # (delta appends, compaction amortized) — so its N->4N efficiency
+        # is reported alongside CoW's, not inferred from it. MoR moves
+        # fewer bytes per batch (no bucket rewrite), so the 4N arm sits
+        # further from this host's shared-DRAM ceiling.
+        t_n_mor = _n_core_child("mor", f"{base}/tnm")
+        q_times["cdc_replay_n_mor"] = round(t_n_mor, 2)
 
         ratio = CPUS / N_CORES_SMALL
         efficiency = (t_n / t_4n) / ratio if t_4n > 0 else None
+        efficiency_mor = (t_n_mor / t_4n_mor) / ratio if t_4n_mor > 0 else None
         eps_4n = n_events / t_4n
         q_times["cdc_replay_4n"] = round(t_4n, 2)
         q_times["cdc_replay_n"] = round(t_n, 2)
@@ -487,6 +522,21 @@ def main() -> None:
                 "t_n_sec": round(t_n, 2),
                 "t_4n_sec": round(t_4n, 2),
                 "efficiency": round(efficiency, 3) if efficiency else None,
+                # fraction of the HOST's own max N->4N speedup (see
+                # host_calibration.host_speedup_n_to_4n) the engine
+                # captures — isolates engine scaling from the shared-DRAM
+                # ceiling a single box imposes on the 4N arm
+                "efficiency_net_of_host": round(
+                    (t_n / t_4n) / calibration["host_speedup_n_to_4n"], 3),
+            },
+            "scaling_mor": {
+                "n_cores": N_CORES_SMALL,
+                "4n_cores": CPUS,
+                "t_n_sec": round(t_n_mor, 2),
+                "t_4n_sec": round(t_4n_mor, 2),
+                "efficiency": round(efficiency_mor, 3) if efficiency_mor else None,
+                "efficiency_net_of_host": round(
+                    (t_n_mor / t_4n_mor) / calibration["host_speedup_n_to_4n"], 3),
             },
             "host_calibration": calibration,
             "bench_total_sec": round(time.time() - t_bench0, 1),

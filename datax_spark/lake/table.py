@@ -82,7 +82,35 @@ _MANIFEST_SCHEMA_COLS = [
     # per-delta-file key bloom for point-read file skipping (None on
     # base files and pre-bloom manifests — absent bloom means "read it")
     ("key_bloom", "binary"), ("bloom_bits", "int64"), ("bloom_hashes", "int64"),
+    # zone map: per-file min/max of ONE secondary column (the table
+    # property 'zone_col'), JSON-encoded through _zone_key so numerics,
+    # strings, and timestamps all compare correctly at prune time. None
+    # on files written before clustering — absent zone means "read it".
+    ("zone_col", "string"), ("zone_min", "string"), ("zone_max", "string"),
 ]
+
+
+def _zone_key(v):
+    """Normalize a value to an orderable JSON-able primitive so parquet
+    footer statistics (write side) and query bounds (prune side) compare
+    in one domain. Timestamps/dates → epoch integers; int/float/str pass
+    through. Returns None for unsupported types (decimal, binary) — the
+    conservative "cannot prune" signal, never a wrong prune."""
+    import datetime
+
+    if isinstance(v, bool):  # bool is an int subclass; zone-mapping it is noise
+        return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        else:
+            epoch = datetime.datetime(1970, 1, 1)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
 
 
 def _atomic_write_manifest(path: str, entries: list[dict]) -> None:
@@ -123,8 +151,10 @@ def _read_manifest(path: str) -> list[dict]:
     return entries
 
 
-def _parquet_stats(path: str) -> tuple[int, int, int | None, int | None]:
-    """(records, deleted, lsn_min, lsn_max) from ONE footer read.
+def _parquet_stats(path: str, zone_col: str | None = None) -> tuple:
+    """(records, deleted, lsn_min, lsn_max, zone_min, zone_max) from ONE
+    footer read; zone_min/zone_max are None unless ``zone_col`` is given
+    and every row group carries mappable statistics for it.
 
     The tombstone count usually resolves from row-group boolean min/max
     statistics (all-false → 0, all-true → n) — the _deleted column is
@@ -170,7 +200,22 @@ def _parquet_stats(path: str) -> tuple[int, int, int | None, int | None]:
             maxs.append(st.max)
         if mins:
             lsn_min, lsn_max = int(min(mins)), int(max(maxs))
-    return rows, deleted, lsn_min, lsn_max
+    zone_min = zone_max = None
+    if zone_col is not None and zone_col in names and md.num_row_groups:
+        zmins: list = []
+        zmaxs: list = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names[zone_col]).statistics
+            k_lo = _zone_key(st.min) if st is not None and st.has_min_max else None
+            k_hi = _zone_key(st.max) if st is not None and st.has_min_max else None
+            if k_lo is None or k_hi is None:
+                zmins = []  # any un-mappable row group poisons the file's zone
+                break
+            zmins.append(k_lo)
+            zmaxs.append(k_hi)
+        if zmins:
+            zone_min, zone_max = min(zmins), max(zmaxs)
+    return rows, deleted, lsn_min, lsn_max, zone_min, zone_max
 
 
 class LakeTable:
@@ -490,6 +535,7 @@ class LakeTable:
     def write_data_files(
         self, df: DataFrame, schema, kind: str = "base", prepartitioned: bool = False,
         num_buckets: int | None = None, max_records_per_file: int | None = None,
+        zone_col: str | None = None,
     ) -> list[dict]:
         """Write a dataframe as bucket-partitioned data files; return manifest
         entries. ``schema`` is the TableSchema the files are written under
@@ -537,11 +583,19 @@ class LakeTable:
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
         writer.partitionBy(BUCKET_COL).parquet(out_dir)
+        # zone-map capture: once the table is clustered (property set by
+        # cluster_by), EVERY later write — merge output, deltas,
+        # compaction — records its files' min/max of the zone column from
+        # the same footer read that yields the row/lsn stats.
+        zone_col = zone_col or self._require_meta()["properties"].get("zone_col")
+        if zone_col is not None and zone_col not in ts.field_names():
+            zone_col = None  # evolved-away column: stop capturing, keep reading
         entries: list[dict] = []
         for bdir in sorted(glob.glob(os.path.join(out_dir, f"{BUCKET_COL}=*"))):
             bucket = int(os.path.basename(bdir).split("=", 1)[1])
             for p in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
-                records, deleted, lsn_min, lsn_max = _parquet_stats(p)
+                records, deleted, lsn_min, lsn_max, zmin, zmax = _parquet_stats(
+                    p, zone_col=zone_col)
                 entries.append(
                     {
                         "path": os.path.relpath(p, self.root),
@@ -553,6 +607,9 @@ class LakeTable:
                         "schema_id": ts.schema_id,
                         "kind": kind,
                         "bytes": os.path.getsize(p),
+                        "zone_col": zone_col if zmin is not None else None,
+                        "zone_min": json.dumps(zmin) if zmin is not None else None,
+                        "zone_max": json.dumps(zmax) if zmax is not None else None,
                     }
                 )
         if kind == "delta":
@@ -597,6 +654,7 @@ class LakeTable:
         new_schema: TableSchema | None = None,
         fence_epoch: str | None = None,
         properties_update: dict | None = None,
+        properties_overwrite: bool = False,
         num_buckets_update: int | None = None,
     ) -> dict:
         """Atomically commit a snapshot.
@@ -658,7 +716,11 @@ class LakeTable:
         if properties_update:
             props = dict(m["properties"])
             for k, v in properties_update.items():
-                if k in props and props[k] != v:
+                # changing a pinned property is refused unless the caller
+                # explicitly owns the consequences (cluster_by does: it
+                # rewrites every file, so the superseded pin has no
+                # surviving reader)
+                if k in props and props[k] != v and not properties_overwrite:
                     raise ValueError(
                         f"table property {k!r} already pinned to {props[k]!r}; "
                         f"cannot change to {v!r}"
@@ -806,6 +868,113 @@ class LakeTable:
         df = self.read(buckets=sorted(victims), include_deleted=True, include_system=True)
         entries = self.write_data_files(df, self.schema())
         return self.commit(entries, replaced_buckets=victims, operation="compact")
+
+    def cluster_by(
+        self, zone_col: str, max_records_per_file: int | None = None,
+    ) -> dict | None:
+        """Sort every bucket by ``zone_col`` and rewrite (one CoW commit),
+        recording per-file min/max zone statistics in the manifest and
+        pinning ``zone_col`` as a table property so every LATER write
+        (merge output, MoR deltas, compaction) keeps capturing them.
+
+        The lake's bucket layout answers key lookups and makes MERGE cost
+        ∝ batch; it does nothing for the other dominant read at 100 TB —
+        range scans on a secondary column (time windows on an events/CDC
+        table). Clustering gives each file a narrow zone, so
+        :meth:`scan_zone` skips non-overlapping files from the MANIFEST —
+        zero Spark jobs, zero footer opens for skipped files, before
+        parquet row-group pruning even starts. The Iceberg/Delta
+        sort-order + data-skipping analog (reference's closest relative is
+        the split+filter pushdown contract, ``RdbmsRangeSplitWrap.java``,
+        which prunes at task-plan time the same way).
+
+        Sorting is ``sortWithinPartitions(_bucket, zone_col)`` after the
+        bucket repartition — one exchange total, same shape as a compact;
+        combine with ``max_records_per_file`` so buckets split into
+        several files, each covering a narrow zone slice.
+        """
+        cur = self.schema()
+        if zone_col not in cur.field_names():
+            raise KeyError(f"zone column {zone_col!r} not in table schema")
+        if zone_col in (LSN_COL, DELETED_COL):
+            raise ValueError("zone column must be a user column")
+        entries = self.manifest()
+        if not entries:
+            # empty table: just pin the property so future writes capture
+            return self.commit([], operation="cluster",
+                               properties_update={"zone_col": zone_col})
+        all_buckets = {e["bucket"] for e in entries}
+        df = self.read(include_deleted=True, include_system=True)
+        out = (
+            df.withColumn(BUCKET_COL, bucket_expr(self.key_col, self.num_buckets))
+            .repartition(F.col(BUCKET_COL))
+            .sortWithinPartitions(BUCKET_COL, zone_col)
+        )
+        new_entries = self.write_data_files(
+            out, cur, prepartitioned=True,
+            max_records_per_file=max_records_per_file, zone_col=zone_col,
+        )
+        return self.commit(
+            new_entries, replaced_buckets=all_buckets, operation="cluster",
+            properties_update={"zone_col": zone_col}, properties_overwrite=True,
+        )
+
+    def zone_prune_plan(self, lo=None, hi=None, zone_col: str | None = None):
+        """(kept_entries, pruned_entries) for a zone range — pure manifest
+        math, no Spark job. A file is pruned only when its recorded zone
+        for ``zone_col`` provably misses [lo, hi]. Two conservative
+        guards: entries without a matching zone (pre-clustering files,
+        un-mappable stats, other zone column) are always kept, and any
+        bucket holding MoR delta files is kept WHOLE — the LWW collapse
+        needs every version row of a key, and a pruned older version
+        would resurrect stale data.
+        """
+        m = self._require_meta()
+        zcol = zone_col or m["properties"].get("zone_col")
+        if zcol is None:
+            raise ValueError(
+                "no zone column: pass zone_col= or run cluster_by() first")
+        klo = _zone_key(lo) if lo is not None else None
+        khi = _zone_key(hi) if hi is not None else None
+        if (lo is not None and klo is None) or (hi is not None and khi is None):
+            raise TypeError(f"unsupported zone bound type: {type(lo or hi)}")
+        entries = self.manifest()
+        delta_buckets = {e["bucket"] for e in entries if e.get("kind") == "delta"}
+        kept, pruned = [], []
+        for e in entries:
+            if (
+                e["bucket"] not in delta_buckets
+                and e.get("zone_col") == zcol
+                and e.get("zone_min") is not None
+                and e.get("zone_max") is not None
+            ):
+                zmin, zmax = json.loads(e["zone_min"]), json.loads(e["zone_max"])
+                if (khi is not None and zmin > khi) or (
+                    klo is not None and zmax < klo
+                ):
+                    pruned.append(e)
+                    continue
+            kept.append(e)
+        return kept, pruned
+
+    def scan_zone(self, lo=None, hi=None, zone_col: str | None = None) -> DataFrame:
+        """Range scan on the zone column: manifest-prunes files whose
+        zone misses [lo, hi] (inclusive; either bound may be None for a
+        half-open range), then applies the exact row filter — identical
+        results to ``read().filter(col.between(lo, hi))``, reading only
+        overlapping files. NULL zone values never match a range filter,
+        so pruning cannot drop them incorrectly."""
+        m = self._require_meta()
+        zcol = zone_col or m["properties"].get("zone_col")
+        kept, _ = self.zone_prune_plan(lo, hi, zone_col=zcol)
+        kept_paths = {e["path"] for e in kept}
+        df = self.read(_entry_filter=lambda e: e["path"] in kept_paths)
+        c = F.col(zcol)
+        if lo is not None:
+            df = df.filter(c >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(c <= F.lit(hi))
+        return df
 
     def delete_where(
         self, condition, ts_col: str, lsn_col: str = "lsn",

@@ -55,6 +55,12 @@ def get_spark(
             os.environ.get("DATAX_SPARK_ARROW_BATCH", "1024"),
         )
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (Spark's legacy default) writes NO parquet column
+        # statistics, which silently disables footer-derived manifest
+        # stats (zone maps, per-file lsn ranges on ts-typed columns) and
+        # row-group pruning on timestamps; MICROS is Spark's own internal
+        # representation, so the round-trip is exact.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("DATAX_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -15,12 +15,25 @@ sizes" is evidenced as two parallelism levels (``local[N]`` /
 ``local[4N]``) per the documented plan in BASELINE.md: same input
 bytes, fresh JVM per size, efficiency = (T_N / T_4N) / 4.
 
+Measurement hygiene (this host's cross-run variance has measured up to
+50% between identical runs 15 min apart):
+
+- the two arms run as INTERLEAVED pairs (4N, N, 4N, N, ...) and each
+  arm takes its min — drift hits both arms, not one;
+- a fixed-TOTAL-work md5 burn runs at BOTH widths inside every pair
+  (pure CPU, zero shared state, no Spark): its N/4N ratio is the
+  host's own maximum speedup in that window, and
+  ``efficiency_net_of_host`` = (t_N/t_4N) / that ceiling isolates the
+  engine's scaling from the shared-DRAM wall a single box imposes on
+  the wide arm. On a real 4N-executor cluster the ceiling term is ~4.0
+  (each executor brings its own memory channels/NIC).
+
 Usage::
 
-    python tools/submit_scaling.py [n_events] [n_small] [n_big]
+    python tools/submit_scaling.py [n_events] [n_small] [n_big] [pairs]
 
-Defaults: 3,200,000 events (the sf0.1 bench scale), 8 and 32 cores.
-Prints ONE JSON line compatible with BENCH.md's scaling table.
+Defaults: 3,200,000 events (the sf0.1 bench scale), 8 and 32 cores,
+3 pairs. Prints ONE JSON line compatible with BENCH.md's scaling table.
 """
 
 from __future__ import annotations
@@ -79,7 +92,7 @@ apply_changes(wt, ch, batch_id=0, transform=with_enrichment)
 shutil.rmtree(table_root + "_warm", ignore_errors=True)
 per = n_events // N_BATCHES
 times = []
-for rep in range(2):
+for rep in range(1):  # one timed rep per child; reps come from interleaved pairs
     t = LakeTable.create(spark, f"{table_root}_r{rep}", schema, key_col="url",
                          num_buckets=NUM_BUCKETS)
     t0 = time.time()
@@ -129,10 +142,35 @@ def _submit_replay(submit: str, zip_path: str, runner: str, cores: int,
     return json.loads(line[len("SUBMIT_REPLAY "):])["replay_sec"]
 
 
+def _burn(_):
+    import hashlib
+
+    h = b"x"
+    for _ in range(1_000_000):
+        h = hashlib.md5(h).digest()
+    return 0
+
+
+def _host_speedup(n_small: int, n_big: int, units: int = 64) -> tuple[float, float]:
+    """(T_burn@n_small, T_burn@n_big) for the same total work — the
+    host's max achievable t_N/t_4N in this window."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    with mp.Pool(n_small) as p:
+        p.map(_burn, range(units))
+    t_small = time.time() - t0
+    t0 = time.time()
+    with mp.Pool(n_big) as p:
+        p.map(_burn, range(units))
+    return t_small, time.time() - t0
+
+
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 3_200_000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     submit = _find_spark_submit()
 
     base = tempfile.mkdtemp(prefix="datax_submit_scaling_", dir="/dev/shm")
@@ -160,21 +198,43 @@ def main() -> None:
         spark.stop()
         time.sleep(1)
 
-        t_big = _submit_replay(submit, zip_path, runner, n_big,
-                               f"{base}/changes", f"{base}/t4n", n_events, base)
-        t_small = _submit_replay(submit, zip_path, runner, n_small,
-                                 f"{base}/changes", f"{base}/tn", n_events, base)
+        big_times, small_times, burns_small, burns_big = [], [], [], []
+        for k in range(pairs):
+            bs, bb = _host_speedup(n_small, n_big)
+            burns_small.append(bs)
+            burns_big.append(bb)
+            big_times.append(_submit_replay(
+                submit, zip_path, runner, n_big,
+                f"{base}/changes", f"{base}/t4n_{k}", n_events, base))
+            small_times.append(_submit_replay(
+                submit, zip_path, runner, n_small,
+                f"{base}/changes", f"{base}/tn_{k}", n_events, base))
+            sys.stderr.write(
+                f"pair {k}: t_{n_big}={big_times[-1]:.1f}s "
+                f"t_{n_small}={small_times[-1]:.1f}s "
+                f"burn {bs:.1f}/{bb:.1f}s\n")
+        t_big, t_small = min(big_times), min(small_times)
+        host_speedup = min(burns_small) / min(burns_big)
         ratio = n_big / n_small
         out = {
             "metric": "spark_submit_replay_scaling",
             "entry": "spark-submit --py-files dist/datax_spark.zip",
             "n_change_events": n_events,
+            "pairs": pairs,
             "scaling": {
                 "n_cores": n_small,
                 "4n_cores": n_big,
                 "t_n_sec": round(t_small, 2),
                 "t_4n_sec": round(t_big, 2),
+                "t_n_all": [round(t, 2) for t in small_times],
+                "t_4n_all": [round(t, 2) for t in big_times],
                 "efficiency": round((t_small / t_big) / ratio, 3),
+                # host's own max N->4N speedup in this window (fixed-work
+                # md5 burn at both widths, no Spark, no shared state) and
+                # the fraction of it the engine captures
+                "host_speedup_n_to_4n": round(host_speedup, 3),
+                "efficiency_net_of_host": round(
+                    (t_small / t_big) / host_speedup, 3),
             },
             "events_per_sec_4n": round(n_events / t_big),
             "events_per_sec_n": round(n_events / t_small),
