@@ -556,6 +556,32 @@ def _q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py — Xie et al. 2023):
+    hashed unigram+bigram LMs fit on target (non-'en' docs) vs raw (all
+    docs); per-doc log importance ratio summed in DECIMAL (exact,
+    partition-order-free). Oracle: full pure-python replay through the
+    parity xxh64 + the same driver-side math.log table."""
+    from datax_spark.operators.dsir import dsir_importance_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, docs.filter(F.col("lang") != "en"), "text", "doc_id"
+    )
+
+
+def _q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel-top-k resample without replacement (operators/
+    dsir.py::dsir_select): 50 docs drawn ∝ exp(logratio), noise hash-
+    derandomized from doc_id so the race replays across engines."""
+    from datax_spark.operators.dsir import dsir_select
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_select(
+        docs, docs.filter(F.col("lang") != "en"), "text", "doc_id", k=50
+    )
+
+
 def _q_cdc_changefeed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change data feed with pre/post images (lake/table.py::
     read_changes, the Delta-CDF shape): the events binlog applied as two
@@ -2093,13 +2119,14 @@ def _q_cdc_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the deepest driver history (window_customer_rank,
 # stream_source_const, split_range_assign, each green in r1+r2+r3),
 # which stay outside the window so everything else fits. After r5,
-# r04 ∪ r05 covers 102/104 entries and every query has at least one
-# driver row across rounds (q18_large_orders yields its slot to the
-# round-5-new events_zone_scan; q18 keeps its r1-r3 driver greens).
+# every query has at least one driver row across rounds:
+# q18_large_orders, q1_pricing_summary, and q3_shipping (r1-r3 greens —
+# q1/q3 three rounds deep) yield their slots to the round-5-new
+# events_zone_scan, doc_dsir_weights, and doc_dsir_select.
 _R5_WINDOW = [
     "q20_potential_promotion", "q21_suppliers_waiting",
     "q22_global_sales_opp", "cdc_multi_source_union",
-    "events_zone_scan",
+    "events_zone_scan", "doc_dsir_weights", "doc_dsir_select",
     "cdc_lww_final_state", "cdc_tombstones", "cdc_op_mix",
     "cdc_out_of_order", "cdc_multiver_fanout", "cdc_cell_merge",
     "dx_string_transforms", "dx_filter_digest", "doc_token_stats",
@@ -2113,7 +2140,7 @@ _R5_WINDOW = [
     "events_windowed_counts", "cdc_session_gaps", "doc_lang_id",
     "doc_stopword_ratio", "corpus_curation", "rollup_orders",
     "setops_custkeys", "customers_without_orders",
-    "asof_enrich_events", "q1_pricing_summary", "q3_shipping",
+    "asof_enrich_events",
     "q5_local_supplier", "q6_forecast_revenue", "q14_promo_revenue",
     "q10_returned_items",
 ]
@@ -2126,8 +2153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # relative order after it.
     base = {
         "cdc_multi_source_union": _q_cdc_multi_source_union,
-        # --- round-5 addition ---
+        # --- round-5 additions ---
         "events_zone_scan": _q_events_zone_scan,
+        "doc_dsir_weights": _q_doc_dsir_weights,
+        "doc_dsir_select": _q_doc_dsir_select,
         # --- round-4 late additions (driver-unverified) ---
         "dedup_incremental_pairs": _q_dedup_incremental_pairs,
         "dedup_incremental_keep": _q_dedup_incremental_keep,
@@ -3253,6 +3282,14 @@ def _pyref_oracles() -> dict[str, str]:
         "doc_weighted_sample": _lazy("doc_weighted_sample", lambda: pyref.values_sql(
             pyref.weighted_sample_rows(sf_dir, k=25, salt=42),
             [("doc_id", "BIGINT"), ("n_tokens", "BIGINT")],
+        )),
+        "doc_dsir_weights": _lazy("doc_dsir_weights", lambda: pyref.values_sql(
+            pyref.dsir_weight_rows(sf_dir),
+            [("doc_id", "BIGINT"), ("n_feats", "BIGINT"), ("logratio", "DOUBLE")],
+        )),
+        "doc_dsir_select": _lazy("doc_dsir_select", lambda: pyref.values_sql(
+            pyref.dsir_select_rows(sf_dir, k=50),
+            [("doc_id", "BIGINT"), ("n_feats", "BIGINT"), ("logratio", "DOUBLE")],
         )),
         "ann_kmeans_clusters": _lazy("ann_kmeans_clusters", lambda: pyref.values_sql(
             pyref.kmeans_rows(sf_dir, k=8, iters=3),

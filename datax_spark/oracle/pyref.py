@@ -984,3 +984,84 @@ def kmeans_rows(sf_dir: str, k: int = 8, iters: int = 3,
     d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     a = d2.argmin(axis=1)
     return [(int(i), int(c)) for i, c in zip(ids, a)]
+
+
+# ------------------------------------------------------------------ DSIR
+
+def _dsir_feats(text: str) -> list[str]:
+    """Unigrams + bigrams of the engine's normalized whitespace tokens
+    (operators/dsir.py::hashed_ngram_features)."""
+    w = [x for x in _words(text) if x]
+    return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+
+def _dsir_lr(sf_dir: str, num_buckets: int, alpha: float, salt: int):
+    """(docs_df, per-bucket Decimal log-ratio dict) — target = non-'en'
+    documents, raw = all documents; Laplace-smoothed hashed-ngram LMs.
+    Python ``%`` is floored like Spark ``pmod``, and ``math.log`` is the
+    SAME call the engine's driver-side log_ratio_table makes, so the
+    table is bit-identical by construction."""
+    import math
+    from decimal import ROUND_HALF_UP
+
+    docs = _load_pandas(sf_dir, "documents")
+
+    def counts(texts):
+        c: dict[int, int] = {}
+        for text in texts:
+            for f in _dsir_feats(text):
+                b = spark_xxhash64(("str", f), ("int", salt)) % num_buckets
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    raw_c = counts(r.text for r in docs.itertuples())
+    tgt_c = counts(r.text for r in docs.itertuples() if r.lang != "en")
+    t_tot = sum(tgt_c.values()) + alpha * num_buckets
+    r_tot = sum(raw_c.values()) + alpha * num_buckets
+    q = Decimal("1e-12")
+    lr = {
+        b: Decimal(repr(
+            math.log((tgt_c.get(b, 0) + alpha) / t_tot)
+            - math.log((raw_c.get(b, 0) + alpha) / r_tot)
+        )).quantize(q, rounding=ROUND_HALF_UP)
+        for b in range(num_buckets)
+    }
+    return docs, lr
+
+
+def dsir_weight_rows(sf_dir: str, num_buckets: int = 10_000,
+                     alpha: float = 1.0, salt: int = 7) -> list[tuple]:
+    """(doc_id, n_feats, logratio) — engine:
+    operators/dsir.py::dsir_importance_weights (target = non-'en' docs).
+    Per-doc sums run in Decimal exactly like the engine's DECIMAL
+    aggregate; the final cast+round mirrors F.round(cast double, 6)."""
+    docs, lr = _dsir_lr(sf_dir, num_buckets, alpha, salt)
+    out = []
+    for r in docs.itertuples():
+        feats = _dsir_feats(r.text)
+        if not feats:
+            continue
+        s = Decimal(0)
+        for f in feats:
+            s += lr[spark_xxhash64(("str", f), ("int", salt)) % num_buckets]
+        out.append((int(r.doc_id), len(feats), _round_half_up(float(s), 6)))
+    return out
+
+
+def dsir_select_rows(sf_dir: str, k: int = 50, num_buckets: int = 10_000,
+                     alpha: float = 1.0, salt: int = 7,
+                     gumbel_salt: int = 99) -> list[tuple]:
+    """(doc_id, n_feats, logratio) of the Gumbel-top-k resample —
+    engine: operators/dsir.py::dsir_select. The Gumbel noise is hash-
+    derandomized from the doc id, so the race replays exactly."""
+    import math
+
+    scored = []
+    for doc_id, n_feats, logratio in dsir_weight_rows(
+            sf_dir, num_buckets, alpha, salt):
+        h = spark_xxhash64(("long", doc_id), ("int", gumbel_salt))
+        u = (((h & 0xFFFFFFFFFFFFFFFF) >> 1) + 1) / float(2 ** 63)
+        g = -math.log(-math.log(u))
+        scored.append((logratio + g, doc_id, n_feats, logratio))
+    scored.sort(reverse=True)
+    return [(d, n, w) for _k, d, n, w in scored[:k]]

@@ -86,9 +86,14 @@ schema = T.StructType([
     T.StructField("fp", T.LongType(), True),
 ])
 ch = spark.read.parquet(input_path)
+# warmup exists for JIT/codegen/Arrow-channel spin-up, not measurement —
+# a bounded slice suffices, and at sf1 (32M events) a full-size warmup
+# would double every arm's cost
+warm_hi = min(n_events, 4_000_000)
 wt = LakeTable.create(spark, table_root + "_warm", schema, key_col="url",
                       num_buckets=NUM_BUCKETS)
-apply_changes(wt, ch, batch_id=0, transform=with_enrichment)
+apply_changes(wt, ch.filter(F.col("lsn") <= warm_hi), batch_id=0,
+              transform=with_enrichment)
 shutil.rmtree(table_root + "_warm", ignore_errors=True)
 per = n_events // N_BATCHES
 times = []
