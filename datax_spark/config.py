@@ -17,8 +17,13 @@ byte-compatible parser) so a DataX user's mental model carries over:
       "transformer": [{"name": "dx_substr", "parameter":
                        {"columnIndex": 0, "paras": ["0", "5"]}}],
       "writer": {"name": "lakemerger", "parameter": {"path": "...",
-                 "keyColumn": "url", "numBuckets": 64}}}]}}
+                 "keyColumn": "url", "numBuckets": 64,
+                 "clusterBy": "warc_ts"}}}]}}
 ```
+
+``clusterBy`` (optional) pins a zone column at table creation so every
+merge write records per-file min/max in the manifest (scan_zone file
+skipping; see ``lake/table.py::cluster_by``).
 
 Readers: parquetreader, txtfilereader (csv), streamreader (synthetic),
 changereader (CDC parquet tail). Writers: parquetwriter, txtfilewriter,
@@ -216,6 +221,13 @@ def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
                 spark, root, user_schema,
                 key_col=p.get("keyColumn", "url"),
                 num_buckets=int(p.get("numBuckets", 64)),
+                # "clusterBy": zone column pinned from birth — every
+                # merge write records per-file min/max of it in the
+                # manifest, so scan_zone file skipping works without a
+                # rewrite (cluster_by() later narrows the zones)
+                properties=(
+                    {"zone_col": p["clusterBy"]} if p.get("clusterBy") else None
+                ),
             )
         else:
             table = LakeTable(spark, root).load()

@@ -76,6 +76,41 @@ def test_lakemerger_writer(spark, tmp_path):
     assert out2["skipped"] is True
 
 
+def test_lakemerger_cluster_by_zone_capture(spark, tmp_path):
+    # "clusterBy" pins the zone column at create time: merge writes
+    # carry per-file min/max in the manifest with NO rewrite, and
+    # scan_zone matches a plain filter
+    src = str(tmp_path / "changes")
+    root = str(tmp_path / "table")
+    from datax_spark.cdc.generator import changes_df
+
+    changes_df(spark, 500, n_keys=100, partitions=2).write.parquet(src)
+    cfg = JobConfig.from_json(json.dumps({
+        "job": {
+            "setting": {"errorLimit": {"record": 0}},
+            "content": [{
+                "reader": {"name": "changereader", "parameter": {"path": src}},
+                "writer": {"name": "lakemerger", "parameter": {
+                    "path": root, "keyColumn": "url", "numBuckets": 4,
+                    "batchId": 0, "clusterBy": "warc_ts"}},
+            }],
+        }
+    }))
+    run_job(spark, cfg)
+    from pyspark.sql import functions as F
+
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, root).load()
+    ents = t.manifest()
+    assert ents and all(e["zone_col"] == "warc_ts" for e in ents)
+    lo, hi = t.read().agg(F.min("warc_ts"), F.max("warc_ts")).first()
+    mid = lo + (hi - lo) / 2
+    got = t.scan_zone(lo, mid).count()
+    want = t.read().filter(F.col("warc_ts").between(lo, mid)).count()
+    assert got == want > 0
+
+
 def test_dry_run_returns_plan(spark):
     cfg = JobConfig.from_json(json.dumps({
         "job": {

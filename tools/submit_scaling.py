@@ -188,20 +188,31 @@ def main() -> None:
         with open(runner, "w") as f:
             f.write(RUNNER)
 
-        # deterministic input written once by a plain local session,
-        # shared bytes for both submit children
-        from datax_spark.cdc.generator import changes_df
-        from datax_spark.session import get_spark
-
-        spark = get_spark(master=f"local[{n_big}]",
-                          app_name="submit_scaling_gen")
-        # html_paragraphs=20 = bench.py's HTML_PARAGRAPHS (~2.8 KB pages),
-        # so the per-event numbers are directly comparable to BENCH.md
-        changes_df(spark, n_events, n_keys=max(1000, n_events // 4),
-                   partitions=n_big, html_paragraphs=20,
-                   ).write.parquet(f"{base}/changes")
-        spark.stop()
-        time.sleep(1)
+        # deterministic input written once, shared bytes for both submit
+        # children. The generator runs in ITS OWN python subprocess: a
+        # py4j gateway JVM lives until its python parent exits, so an
+        # in-process session here would leave a ~GBs-RSS JVM alive
+        # through every measured arm (observed in the sf1 run).
+        gen_code = (
+            "import sys\n"
+            "from datax_spark.cdc.generator import changes_df\n"
+            "from datax_spark.session import get_spark\n"
+            "n, nb, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]\n"
+            "spark = get_spark(master=f'local[{nb}]', app_name='submit_scaling_gen')\n"
+            "# html_paragraphs=20 = bench.py's HTML_PARAGRAPHS (~2.8 KB pages),\n"
+            "# so the per-event numbers are directly comparable to BENCH.md\n"
+            "changes_df(spark, n, n_keys=max(1000, n // 4), partitions=nb,\n"
+            "           html_paragraphs=20).write.parquet(out)\n"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", gen_code, str(n_events), str(n_big),
+             f"{base}/changes"],
+            capture_output=True, text=True, timeout=3600,
+            env=dict(os.environ, PYTHONPATH=REPO),
+        )
+        if r.returncode != 0:
+            sys.stderr.write(r.stderr[-4000:])
+            raise SystemExit("input generation failed")
 
         big_times, small_times, burns_small, burns_big = [], [], [], []
         for k in range(pairs):
