@@ -471,6 +471,13 @@ def main() -> None:
         # engine metric rides python accumulators, but ~10^3 ERROR lines
         # of noise and a real measurement-hygiene smell). A child process
         # gives the N-core run a genuinely fresh JVM instead.
+        # Known residual: spark.stop() stops the CONTEXT but this
+        # process's py4j gateway JVM stays resident (idle, but holding
+        # its pre-touched heap) through the child runs — it cannot be
+        # shed without ending this process. tools/submit_scaling.py is
+        # the clean-room protocol (every arm a fresh child, generator
+        # in a subprocess); its independently-measured efficiency
+        # brackets this in-session number.
         spark.stop()
         time.sleep(1)
         import subprocess
