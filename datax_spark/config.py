@@ -212,6 +212,13 @@ def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
         from pyspark.sql import types as T
 
         root = p["path"]
+        if p.get("clusterBy") and p["clusterBy"] not in df.columns:
+            # a typo'd zone column would otherwise be silent twice over:
+            # write_data_files nulls unknown zone cols, and an existing
+            # table ignores clusterBy entirely — fail at config time
+            raise ValueError(
+                f"lakemerger clusterBy={p['clusterBy']!r} is not a writer "
+                f"column (have: {sorted(df.columns)})")
         if not LakeTable.exists(root):
             user_schema = T.StructType(
                 [f for f in df.schema.fields if f.name not in (
@@ -231,6 +238,18 @@ def _write(df: DataFrame, spark: SparkSession, cfg: JobConfig) -> dict:
             )
         else:
             table = LakeTable(spark, root).load()
+            want = p.get("clusterBy")
+            have = table.meta["properties"].get("zone_col")
+            if want and want != have:
+                # on an existing table clusterBy cannot take effect (the
+                # zone column is a pinned table property) — warn loudly
+                # instead of silently ignoring the mismatch
+                import warnings
+
+                warnings.warn(
+                    f"lakemerger clusterBy={want!r} ignored: existing table "
+                    f"at {root} pins zone_col={have!r}; run cluster_by() to "
+                    f"change it", stacklevel=2)
         if p.get("canonicalizeKey"):
             # crawl-dedup semantics from job config: merge on the
             # CANONICAL url (functions/urls.py) — mirrors

@@ -105,7 +105,10 @@ def _zone_key(v):
             epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
         else:
             epoch = datetime.datetime(1970, 1, 1)
-        return int((v - epoch).total_seconds() * 1_000_000)
+        # exact integer micros (timedelta keeps days/seconds/micros as
+        # ints); the float64 total_seconds() path can truncate modern
+        # epochs by 1us, which skews stored zone bounds off-by-one
+        return (v - epoch) // datetime.timedelta(microseconds=1)
     if isinstance(v, datetime.date):
         return (v - datetime.date(1970, 1, 1)).days
     if isinstance(v, (int, float, str)):
@@ -559,6 +562,13 @@ class LakeTable:
         carries ``_bucket`` and is partitioned by it (e.g. the CoW
         union-collapse plan) — the writer adds NO shuffle of its own.
         """
+        from datax_spark.session import ensure_engine_confs
+
+        # manifest stats (zone maps, per-file lsn ranges) are read from
+        # parquet footers; a caller session left on legacy INT96
+        # timestamps writes NO footer statistics, silently disabling
+        # them — pin the correctness confs on whatever session we got
+        ensure_engine_confs(self.spark)
         ts = schema
         write_id = f"w-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self._data_dir, write_id)
@@ -919,6 +929,30 @@ class LakeTable:
             properties_update={"zone_col": zone_col}, properties_overwrite=True,
         )
 
+    def _zone_bounds_in_utc(self, lo, hi):
+        """Manifest zone keys for timestamp columns are UTC-epoch micros
+        (parquet stores timestamps UTC-adjusted), while a NAIVE datetime
+        bound mirrors ``F.lit(dt)`` — which PySpark converts to internal
+        micros via the PYTHON PROCESS timezone (``TimestampType.
+        toInternal`` → ``time.mktime``), NOT ``spark.sql.session.
+        timeZone`` (measured: under an Asia/Tokyo session on a UTC host,
+        ``lit(12:00)`` still matches rows stored at 12:00 UTC; the
+        session tz only affects rendering and string casts). On a
+        non-UTC HOST the two domains diverge and an unconverted bound
+        could wrongly prune files whose rows the exact filter keeps —
+        convert naive bounds host-local → UTC so pruning always agrees
+        with the filter. Aware and non-datetime bounds pass through."""
+        import datetime
+
+        def conv(v):
+            if isinstance(v, datetime.datetime) and v.tzinfo is None:
+                # naive → aware in the process-local tz → UTC; identity
+                # on UTC hosts, so stored zone keys stay comparable
+                return v.astimezone(datetime.timezone.utc)
+            return v
+
+        return conv(lo), conv(hi)
+
     def zone_prune_plan(self, lo=None, hi=None, zone_col: str | None = None):
         """(kept_entries, pruned_entries) for a zone range — pure manifest
         math, no Spark job. A file is pruned only when its recorded zone
@@ -934,6 +968,7 @@ class LakeTable:
         if zcol is None:
             raise ValueError(
                 "no zone column: pass zone_col= or run cluster_by() first")
+        lo, hi = self._zone_bounds_in_utc(lo, hi)
         klo = _zone_key(lo) if lo is not None else None
         khi = _zone_key(hi) if hi is not None else None
         if (lo is not None and klo is None) or (hi is not None and khi is None):

@@ -116,23 +116,49 @@ def dsir_importance_weights(
     sum runs in DECIMAL (exact, order-free) and is surfaced as a
     double rounded to 6 dp."""
     spark = raw.sparkSession
+    # featurize the raw corpus ONCE: reduce the occurrence stream to
+    # per-(doc, bucket) counts (rows ≤ docs × min(doc_feats, B), far
+    # smaller than the occurrence stream) and derive BOTH the corpus
+    # bucket histogram and the per-doc scores from it. The raw corpus —
+    # the 100 TB side — is scanned+exploded once instead of twice; only
+    # the small target corpus keeps its single dedicated pass. persist()
+    # is an intra-query intermediate (released with the session / GC of
+    # the returned plan), not a cross-run cache.
+    doc_b = (
+        hashed_ngram_features(raw, text_col, id_col, num_buckets, salt)
+        .groupBy(id_col, "_b")
+        .agg(F.count("*").alias("_c"))
+        .persist()
+    )
+    raw_counts = {
+        int(r["_b"]): int(r["_c"])
+        for r in doc_b.groupBy("_b").agg(F.sum("_c").alias("_c")).collect()
+    }
     lr = log_ratio_table(
         _bucket_counts(hashed_ngram_features(target, text_col, id_col,
                                              num_buckets, salt)),
-        _bucket_counts(hashed_ngram_features(raw, text_col, id_col,
-                                             num_buckets, salt)),
+        raw_counts,
         num_buckets, alpha,
     )
+    # decimal(14,12), not (26,12): a log probability ratio is bounded by
+    # log(total_tokens) (< 50 for any physical corpus), so 2 integer
+    # digits suffice — and the narrower type keeps count×lr EXACT:
+    # bigint(=dec(20,0)) × dec(14,12) → dec(35,12) fits Spark's 38-digit
+    # cap, while ×dec(26,12) would overflow it and silently truncate the
+    # scale (allowPrecisionLoss), breaking bit-equality with the oracle.
     lr_df = spark.createDataFrame(
         [(b, str(d)) for b, d in lr], "_b bigint, _lr_s string",
-    ).select("_b", F.col("_lr_s").cast("decimal(26,12)").alias("_lr"))
-    feats = hashed_ngram_features(raw, text_col, id_col, num_buckets, salt)
+    ).select("_b", F.col("_lr_s").cast("decimal(14,12)").alias("_lr"))
+    # Σ_occurrences lr(b) == Σ_buckets count·lr(b) exactly: the per-term
+    # products and sums all run in DECIMAL, so regrouping cannot change
+    # a single bit of the rounded double surfaced below.
     return (
-        feats.join(F.broadcast(lr_df), "_b")
+        doc_b.join(F.broadcast(lr_df), "_b")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_feats"),
-            F.round(F.sum("_lr").cast("double"), 6).alias("logratio"),
+            F.sum("_c").alias("n_feats"),
+            F.round(F.sum(F.col("_c") * F.col("_lr")).cast("double"), 6)
+            .alias("logratio"),
         )
     )
 

@@ -17,6 +17,39 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# Session confs the engine's CORRECTNESS surface depends on (as opposed
+# to the perf confs below, which merely make it fast). Two independent
+# incidents proved a caller's bare ``SparkSession.builder.getOrCreate()``
+# silently breaks features that rely on these: INT96 parquet timestamps
+# (Spark's legacy default) carry NO column statistics, so zone-map /
+# per-file lsn capture from footers records nothing and range pruning
+# degrades to "keep everything" — or worse, a query asserting pruning
+# fails outright. These are runtime SQL confs, so engine entry points
+# (LakeTable writes) pin them on whatever session they are handed via
+# :func:`ensure_engine_confs` instead of trusting the session factory.
+ENGINE_CORRECTNESS_CONFS = {
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Pin correctness-critical runtime SQL confs on ``spark``.
+
+    Idempotent and cheap (conf get/set only). Called from engine entry
+    points whose behavior would silently change under a session that was
+    not built by :func:`get_spark` — e.g. ``LakeTable.write_data_files``
+    needs MICROS parquet timestamps so footer statistics exist for
+    manifest zone maps. MICROS is Spark's own internal representation,
+    so the round-trip is exact and the pin never changes row values.
+    """
+    for k, v in ENGINE_CORRECTNESS_CONFS.items():
+        try:
+            cur = spark.conf.get(k)
+        except Exception:
+            cur = None
+        if cur != v:
+            spark.conf.set(k, v)
+
 
 def get_spark(
     app_name: str = "datax_spark",
