@@ -16,7 +16,9 @@ whitespace. All regex-based; no random, no locale, no time dependence.
 
 from __future__ import annotations
 
+import hashlib
 import re
+from collections import Counter
 
 import pandas as pd
 from pyspark.sql import functions as F, types as T
@@ -64,8 +66,13 @@ def extract_text(raw: bytes | None) -> str | None:
     s = _COMMENT_RE.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
     s = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], s)
-    s = _WS_RE.sub(" ", s).strip()
-    return s
+    # whitespace collapse: " ".join(s.split()) is byte-identical to
+    # _WS_RE.sub(" ", s).strip() — regex \s and str.split() agree on the
+    # whitespace set for every Unicode codepoint (exhaustively verified,
+    # pinned by tests/test_extract.py) — and runs ~10x faster on
+    # tag-stripped text, whose space runs dominate the page (this single
+    # sub was a third of the whole enrichment CPU, measured r6).
+    return " ".join(s.split())
 
 
 @pandas_udf(T.StringType())
@@ -93,20 +100,53 @@ _LANG_SETS = {lg: frozenset(_STOPWORDS[lg]) for lg in _LANG_ORDER}
 _NON_ALPHA_RE = re.compile(r"[^A-Za-zÀ-ÿ]+")
 _PUNCT_RE = re.compile(r"[.,;:!?'\"()\[\]{}\-]")
 
+# Codepoint-table equivalents of the two per-char regex counts above —
+# exact by construction (the regex class A-Za-zÀ-ÿ IS codepoints 65-90,
+# 97-122, 0xC0-0xFF, incl. ×/÷; the punct table IS the punct class —
+# both pinned against the regexes in tests/test_extract.py) and ~10x
+# faster per page: the two regex counts were two-thirds of the
+# non-extract enrichment CPU (measured r6). ASCII pages (the common
+# case) count via bytes.translate in pure C; anything else goes through
+# a utf-32 numpy table lookup, with index 256 as the "codepoint > 255 —
+# neither class" sentinel.
+import numpy as _np
+
+_PUNCT_CHARS = ".,;:!?'\"()[]{}-"
+_ALPHA_TR = bytes(
+    1 if (65 <= i <= 90 or 97 <= i <= 122 or 0xC0 <= i <= 0xFF) else 0
+    for i in range(256)
+)
+_PUNCT_BYTES = _PUNCT_CHARS.encode("ascii")
+_ALPHA_TAB = _np.zeros(257, dtype=_np.uint8)
+_ALPHA_TAB[: 256] = _np.frombuffer(_ALPHA_TR, dtype=_np.uint8)
+_PUNCT_TAB = _np.zeros(257, dtype=_np.uint8)
+for _c in _PUNCT_CHARS:
+    _PUNCT_TAB[ord(_c)] = 1
+
+
+def _char_class_counts(text: str) -> tuple[int, int]:
+    """(n_alpha, n_punct) over the text's codepoints, C-speed."""
+    if text.isascii():
+        b = text.encode()
+        return (
+            b.translate(_ALPHA_TR).count(1),
+            len(b) - len(b.translate(None, _PUNCT_BYTES)),
+        )
+    c = _np.frombuffer(text.encode("utf-32-le"), dtype=_np.uint32)
+    idx = _np.minimum(c, 256)
+    return int(_ALPHA_TAB[idx].sum()), int(_PUNCT_TAB[idx].sum())
+
 
 def _enrich_one(raw: bytes | None):
     """extract + language-id + token count + quality + fingerprint.
 
-    Everything per-character runs in C (regex/str builtins/hashlib).
-    Language scoring iterates the small FIXED lexicons against a token
-    Counter — O(Σ|lexicon|) dict lookups per document (a few hundred)
-    instead of the round-2 O(tokens × languages) python loop, and
-    sum-over-lexicon-of-counts ≡ sum-over-tokens-of-membership, so the
-    scores (and the byte-identical text invariant) are unchanged.
+    Everything per-character runs in C (regex/str builtins/hashlib/
+    numpy masks). Language scoring iterates the small FIXED lexicons
+    against a token Counter — O(Σ|lexicon|) dict lookups per document (a
+    few hundred) instead of the round-2 O(tokens × languages) python
+    loop, and sum-over-lexicon-of-counts ≡ sum-over-tokens-of-membership,
+    so the scores (and the byte-identical text invariant) are unchanged.
     """
-    import hashlib
-    from collections import Counter
-
     text = extract_text(raw)
     if text is None:
         return None, None, None, None, None
@@ -118,10 +158,10 @@ def _enrich_one(raw: bytes | None):
     }
     best = max(_LANG_ORDER, key=lambda lg: (hits[lg], -_LANG_ORDER.index(lg)))
     lang = best if hits[best] > 0 else "und"
-    n_alpha = len(_NON_ALPHA_RE.sub("", text))
+    n_alpha, n_punct = _char_class_counts(text)
     alpha_ratio = n_alpha / len(text) if text else 0.0
     sw_ratio = (hits[best] / n_tok) if n_tok else 0.0
-    punct_ratio = (len(_PUNCT_RE.findall(text)) / len(text)) if text else 0.0
+    punct_ratio = (n_punct / len(text)) if text else 0.0
     # same weights as functions/text.py::quality_score (one formula across
     # the engine); the stopword term here uses the DETECTED language's
     # hit ratio rather than the fixed-language column variant

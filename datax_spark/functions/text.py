@@ -117,13 +117,29 @@ def fingerprint64(col) -> Column:
 
 
 def shingles(col, k: int = 3) -> Column:
-    """Array of k-word shingle strings (for Jaccard / MinHash)."""
+    """Array of k-word shingle strings (for Jaccard / MinHash).
+
+    The words array is evaluated ONCE and bound as a lambda variable
+    (wrap-in-single-element-array + ``transform`` trick, unwrapped with
+    ``element_at``): higher-order-function lambda bodies run interpreted
+    with NO common-subexpression elimination, so referencing the
+    split+lower+normalize expression directly inside the per-position
+    lambda re-tokenizes the WHOLE document for every shingle position —
+    O(positions × bytes) regexp work. Measured r6 on the sf0.1 corpus:
+    the span-hash projection alone dropped ~10x, and every shingle
+    consumer (minhash/ngram/repeated-span) inherits it. Same expressions
+    on the same bound values → byte-identical shingle strings (pinned by
+    the unchanged minhash/ngram/span oracles)."""
     words = F.split(F.lower(normalize_ws(col)), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+    def _shingle_arr(w):
+        n = F.size(w)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)))
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+
+    return F.element_at(F.transform(F.array(words), _shingle_arr), 1)
 
 
 def repetition_signals(df, text_col: str, id_col: str):

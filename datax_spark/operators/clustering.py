@@ -181,6 +181,8 @@ def semantic_dedup_pairs(
     df: DataFrame, k: int = 8, iters: int = 3, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    target_cluster_size: int | None = None,
+    max_pair_estimate: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style near-duplicate pairs: all-pairs cosine confined
     WITHIN k-means clusters (Abbas et al. 2023's observation — semantic
@@ -190,22 +192,57 @@ def semantic_dedup_pairs(
     too large). Join is an equi-join on the cluster id; cosine runs
     JVM-side (zip_with/aggregate — no Python per pair).
 
+    **Scale protocol (the r5 sf1 lesson — 30x wall at 10x data under
+    fixed k):** pass ``target_cluster_size`` instead of ``k`` and k is
+    derived as ceil(n / target_cluster_size) — the SemDeDup paper's own
+    protocol (cluster sizes stay constant as n grows, so Σ|cluster|²
+    ≈ n·target stays LINEAR in n instead of quadratic). When either
+    ``target_cluster_size`` or ``max_pair_estimate`` is given, the
+    operator also counts cluster sizes after assignment (a k-row
+    aggregate) and raises/warns when the Σ|cluster|² pair estimate
+    exceeds ``max_pair_estimate`` — a loud guard instead of a silent
+    quadratic cliff. With a bare explicit ``k`` both extra jobs are
+    skipped (byte-compatible with the pre-r6 call shape).
+
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold,
     cosine rounded to 4 places (oracle-stable)."""
     from datax_spark.operators.similarity import _dot, _norm
 
+    if target_cluster_size is not None:
+        if centroids is not None:
+            raise ValueError("pass either centroids or target_cluster_size")
+        n = df.where(F.col(vec_col).isNotNull()).count()
+        k = max(1, -(-n // int(target_cluster_size)))
     C = centroids if centroids is not None else kmeans_fit(
         df, k, iters, id_col, vec_col)
-    tagged = df.select(id_col, vec_col).join(
-        kmeans_assign(df, C, id_col, vec_col), id_col)
+    # assignment is a zero-shuffle PROJECTION of df — select it inline
+    # instead of joining df back onto kmeans_assign(df) by id (the r5
+    # shape), which re-scanned the corpus and paid a full self-join
+    # exchange just to attach a column the scan can compute itself.
+    # Norms are likewise hoisted out of the pair loop: |v| depends only
+    # on the row, so computing it once per SIDE leaves a single O(dim)
+    # fold (the dot) per candidate pair instead of three.
+    tagged = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        _assign_udf(C)(F.col(vec_col)).alias("cluster"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    if target_cluster_size is not None or max_pair_estimate is not None:
+        sizes = [int(r["c"]) for r in
+                 tagged.groupBy("cluster").agg(F.count("*").alias("c")).collect()]
+        est = sum(c * c for c in sizes)
+        if max_pair_estimate is not None and est > max_pair_estimate:
+            raise ValueError(
+                f"semantic dedup pair estimate Σ|cluster|² = {est} exceeds "
+                f"max_pair_estimate={max_pair_estimate}; raise k / lower "
+                f"target_cluster_size (largest cluster: {max(sizes)})")
     left = tagged.select(
         F.col(id_col).alias("id_a"), F.col("cluster"),
-        F.col(vec_col).cast("array<double>").alias("_va"))
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     right = tagged.select(
         F.col(id_col).alias("id_b"), F.col("cluster"),
-        F.col(vec_col).cast("array<double>").alias("_vb"))
-    cos = _dot(F.col("_va"), F.col("_vb")) / (
-        _norm(F.col("_va")) * _norm(F.col("_vb")))
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         left.join(right, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
