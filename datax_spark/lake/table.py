@@ -90,6 +90,14 @@ _MANIFEST_SCHEMA_COLS = [
 ]
 
 
+# Delta writes at or below this many total rows build their per-bucket
+# key blooms ON THE DRIVER (pyarrow read of the just-written local files
+# + pure-python xxh64, ~13us/key) instead of launching a scan+shuffle
+# Spark job — the dominant fixed cost of a trickle MoR batch. Bulk
+# deltas keep the distributed build (driver cost stays O(threshold)).
+DRIVER_BLOOM_MAX_ROWS = 8192
+
+
 def _zone_key(v):
     """Normalize a value to an orderable JSON-able primitive so parquet
     footer statistics (write side) and query bounds (prune side) compare
@@ -637,15 +645,32 @@ class LakeTable:
         a superset filter: less selective, never incorrect. Disable with
         table property ``delta_bloom_bits=0``; an over-full bloom
         saturates toward all-ones (pruning → 0, correctness unaffected)."""
-        from datax_spark.operators.bloom import bucket_blooms
+        from datax_spark.operators.bloom import bucket_blooms, bucket_blooms_local
 
         props = self._require_meta()["properties"]
         num_bits = int(props.get("delta_bloom_bits", 1 << 16) or 0)
         if not num_bits or not entries:
             return
         num_hashes = int(props.get("delta_bloom_hashes", 5))
-        back = self.spark.read.parquet(out_dir).select(self.key_col, BUCKET_COL)
-        blooms = bucket_blooms(back, self.key_col, BUCKET_COL, num_bits, num_hashes)
+        blooms = None
+        total_rows = sum(e["records"] for e in entries)
+        if total_rows <= DRIVER_BLOOM_MAX_ROWS:
+            # trickle-sized delta: build the filters on the driver from
+            # the files' key columns (pure pyarrow + the bit-verified
+            # python xxh64 — byte-identical to the distributed build,
+            # pinned by test) instead of paying a whole scan+shuffle
+            # Spark job to index a few hundred keys. Falls back below on
+            # key types the python hash does not cover.
+            try:
+                blooms = bucket_blooms_local(
+                    [(os.path.join(self.root, e["path"]), e["bucket"])
+                     for e in entries],
+                    self.key_col, num_bits, num_hashes)
+            except TypeError:
+                blooms = None
+        if blooms is None:
+            back = self.spark.read.parquet(out_dir).select(self.key_col, BUCKET_COL)
+            blooms = bucket_blooms(back, self.key_col, BUCKET_COL, num_bits, num_hashes)
         for e in entries:
             bl = blooms.get(e["bucket"])
             if bl is not None:

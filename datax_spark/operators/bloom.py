@@ -41,6 +41,7 @@ __all__ = [
     "bloom_prune",
     "bloom_semi_join",
     "bucket_blooms",
+    "bucket_blooms_local",
     "might_contain_python",
 ]
 
@@ -168,6 +169,49 @@ def bucket_blooms(
         if b not in out:
             out[b] = np.zeros(num_bits // 64, dtype=np.uint64)
         out[b][int(r["word"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    return {b: w.tobytes() for b, w in out.items()}
+
+
+def bucket_blooms_local(
+    file_buckets: list[tuple[str, int]],
+    key_col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 5,
+) -> dict[int, bytes]:
+    """Driver-side :func:`bucket_blooms` for SMALL delta writes: read the
+    key column of each just-written local parquet file with pyarrow and
+    replay ``_positions`` through the bit-verified pure-python xxh64
+    (oracle/xxh64.py) — byte-identical filters (pinned by
+    tests/test_lake.py) with ZERO Spark jobs. A trickle batch otherwise
+    pays a whole scan+shuffle job to index a few hundred keys; at
+    ~13us/key the driver builds these in milliseconds. Callers gate on
+    total row count (see ``LakeTable._attach_delta_blooms``) so the
+    driver never loops over a bulk batch. Raises TypeError on key types
+    the python hash does not cover (callers fall back to the
+    distributed build)."""
+    import pyarrow.parquet as pq
+
+    from datax_spark.oracle.xxh64 import spark_xxhash64
+
+    out: dict[int, np.ndarray] = {}
+    for path, bucket in file_buckets:
+        col = pq.read_table(path, columns=[key_col])[key_col]
+        w = out.setdefault(bucket, np.zeros(num_bits // 64, dtype=np.uint64))
+        for v in col.to_pylist():
+            if v is None:
+                continue
+            if isinstance(v, str):
+                pair = ("str", v)
+            elif isinstance(v, bool) or not isinstance(v, int):
+                raise TypeError(
+                    f"unsupported bloom key type {type(v).__name__}")
+            else:
+                pair = ("long", v)
+            h1 = spark_xxhash64(pair, ("int", 0x5EED1)) % num_bits
+            h2 = spark_xxhash64(pair, ("int", 0x5EED2)) % num_bits
+            for i in range(num_hashes):
+                p = (h1 + i * h2) % num_bits
+                w[p >> 6] |= np.uint64(1 << (p & 63))
     return {b: w.tobytes() for b, w in out.items()}
 
 

@@ -329,3 +329,75 @@ def test_stats_manifest_report(spark, tmp_table_root):
     assert s["num_buckets"] == 4 and s["snapshots"] == 2
     assert s["worst_delta_amplification"] > 0
     assert s["files_per_bucket"]["max"] >= s["files_per_bucket"]["min"] >= 1
+
+
+def test_driver_bloom_build_bit_identical(spark, tmp_path):
+    """r6: trickle-sized delta writes build their key blooms on the
+    driver (bucket_blooms_local) instead of via a Spark job — the bytes
+    must be identical to the distributed build, for string AND long
+    keys, so manifest pruning semantics cannot depend on batch size."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.bloom import bucket_blooms, bucket_blooms_local
+
+    for typ in ("str", "long"):
+        df = spark.range(300).select(
+            (F.concat(F.lit("k-"), F.col("id").cast("string"))
+             if typ == "str" else F.col("id")).alias("k"),
+            F.pmod(F.col("id"), F.lit(4)).alias("_bucket"),
+        )
+        out = str(tmp_path / f"bl_{typ}")
+        df.write.partitionBy("_bucket").parquet(out)
+        dist = bucket_blooms(
+            spark.read.parquet(out).select("k", "_bucket"),
+            "k", "_bucket", 1 << 12, 5)
+        files = []
+        for bdir in glob.glob(os.path.join(out, "_bucket=*")):
+            b = int(os.path.basename(bdir).split("=")[1])
+            files += [(p, b) for p in glob.glob(os.path.join(bdir, "*.parquet"))]
+        local = bucket_blooms_local(files, "k", 1 << 12, 5)
+        assert set(dist) == set(local) == {0, 1, 2, 3}
+        for b in dist:
+            assert dist[b] == local[b], (typ, b)
+
+
+def test_trickle_delta_write_uses_driver_bloom(spark, tmp_table_root, monkeypatch):
+    """A small MoR delta write must not launch the bloom Spark job (the
+    driver path covers it) — and lookups through those blooms still
+    prune and answer correctly."""
+    from pyspark.sql import functions as F, types as T
+
+    import datax_spark.operators.bloom as bloom_mod
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+
+    calls = {"dist": 0}
+    orig = bloom_mod.bucket_blooms
+
+    def spy(*a, **k):
+        calls["dist"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(bloom_mod, "bucket_blooms", spy)
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("v", T.LongType(), True),
+    ])
+    t = LakeTable.create(spark, tmp_table_root, schema, key_col="k", num_buckets=4)
+    ch = spark.range(50).select(
+        F.concat(F.lit("u-"), F.col("id").cast("string")).alias("k"),
+        F.lit("I").alias("op"),
+        F.timestamp_seconds(F.col("id") + 1).alias("ts"),
+        F.col("id").alias("lsn"),
+        (F.col("id") * 10).alias("v"),
+    )
+    merge_into(t, ch, ts_col="ts", merge_mode="mor", batch_id=1, stream_id="s")
+    assert calls["dist"] == 0, "small delta should use the driver bloom build"
+    t = t.load()
+    assert [r["v"] for r in t.lookup("u-7").collect()] == [70]
+    m = t.manifest()
+    assert all(e["key_bloom"] is not None for e in m if e["kind"] == "delta")
