@@ -2111,45 +2111,49 @@ def _q_cdc_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-5 driver-window rotation: the gate emits rows for only the
-# FIRST 50 dict entries per round. CORRECTNESS_r04 covered 50 queries;
-# this list is exactly the complement — the 3 TPC-H queries that have
-# NEVER had a driver row (q20/q21/q22), the new multi-source oracle,
-# and the 46 r1-r3-verified entries absent from r04 — minus the three
-# with the deepest driver history (window_customer_rank,
-# stream_source_const, split_range_assign, each green in r1+r2+r3),
-# which stay outside the window so everything else fits. After r5,
-# every query has at least one driver row across rounds:
-# q18_large_orders, q1_pricing_summary, and q3_shipping (r1-r3 greens —
-# q1/q3 three rounds deep) yield their slots to the round-5-new
-# events_zone_scan, doc_dsir_weights, and doc_dsir_select.
-_R5_WINDOW = [
-    "q20_potential_promotion", "q21_suppliers_waiting",
-    "q22_global_sales_opp", "cdc_multi_source_union",
-    "events_zone_scan", "doc_dsir_weights", "doc_dsir_select",
+# Round-6 driver-window rotation: the gate emits rows for only the
+# FIRST 50 dict entries per round. This round's window = (a) the six
+# queries with no driver row in the trailing r04∪r05 union
+# (split_range_assign, window_customer_rank, stream_source_const —
+# VERDICT r5 next-item #4 — plus q1/q3/q18, which yielded their r5
+# slots), so r04∪r05∪r06 covers all 106 queries; (b) events_zone_scan,
+# to prove the r5 red row's session-conf fix under the driver's bare
+# session; (c) every query whose OPERATOR INTERNALS this optimization
+# round touched (shingles binding, norm hoisting, semantic-dedup
+# projection, DSIR single-featurization, merge/bloom write path), so
+# each optimization is re-proven by a fresh driver row; (d) the rest of
+# bench.py's QUERY_NAMES, so every per-query PERF_r06 number has a
+# same-round correctness row beside it.
+_R6_WINDOW = [
+    # (a) no row since r3
+    "split_range_assign", "window_customer_rank", "stream_source_const",
+    "q1_pricing_summary", "q3_shipping", "q18_large_orders",
+    # (b) the r5 red row, fixed this round
+    "events_zone_scan",
+    # (c) operator internals changed this round
+    "doc_dsir_weights", "doc_dsir_select",
+    "dedup_repeated_spans", "dedup_minhash_lsh", "dedup_minhash_keep",
+    "dedup_ngram_jaccard", "dedup_incremental_pairs",
+    "dedup_incremental_keep", "dedup_exact", "dedup_simhash",
+    "dedup_simhash_near", "emb_semantic_dedup", "ann_cosine_topk",
+    "ann_recall", "ann_lsh_topk", "emb_near_dup", "emb_near_dup_lsh",
     "cdc_lww_final_state", "cdc_tombstones", "cdc_op_mix",
     "cdc_out_of_order", "cdc_multiver_fanout", "cdc_cell_merge",
-    "dx_string_transforms", "dx_filter_digest", "doc_token_stats",
-    "doc_quality", "doc_fingerprint", "dedup_exact",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_near", "ann_cosine_topk", "ann_lsh_topk",
-    "ann_ivf_topk", "ann_pq_topk", "ann_pq_recall", "emb_near_dup",
-    "emb_near_dup_lsh", "media_features", "media_frames",
-    "media_decode_features", "media_video_frames",
-    "dedup_minhash_keep", "doc_quality_score", "ann_recall",
-    "events_windowed_counts", "cdc_session_gaps", "doc_lang_id",
-    "doc_stopword_ratio", "corpus_curation", "rollup_orders",
-    "setops_custkeys", "customers_without_orders",
-    "asof_enrich_events",
-    "q5_local_supplier", "q6_forecast_revenue", "q14_promo_revenue",
-    "q10_returned_items",
+    "cdc_canonical_merge", "cdc_multi_source_union", "cdc_stream_enrich",
+    "cdc_delete_where", "cdc_changefeed_images",
+    "bucket_local_agg", "bucket_local_join", "bloom_semi_join",
+    # (d) remaining bench QUERY_NAMES
+    "ann_kmeans_clusters", "heavy_hitters_partkey", "asof_enrich_events",
+    "range_join_event_windows", "doc_hash_split", "sketch_kmv_distinct",
+    "hll_distinct_urls", "doc_paragraph_dedup", "doc_token_stats",
+    "cdc_scd2_history", "cdc_scd2_lookup", "dedup_components",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate runs entries in dict
     # order and (observed in r3) emitted rows for only the first 50.
-    # _R5_WINDOW (see above) goes first; everything else keeps its
+    # _R6_WINDOW (see above) goes first; everything else keeps its
     # relative order after it.
     base = {
         "cdc_multi_source_union": _q_cdc_multi_source_union,
@@ -2265,7 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "q18_large_orders": _q18_large_orders,
     }
-    head = {k: base[k] for k in _R5_WINDOW}
+    head = {k: base[k] for k in _R6_WINDOW}
     return head | {k: v for k, v in base.items() if k not in head}
 
 

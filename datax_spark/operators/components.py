@@ -95,6 +95,13 @@ def connected_components(
     with ``F.coalesce(component, id)`` for the full assignment (see
     ``component_dedup``)."""
     e = _canonical_edges(edges, src, dst)
+    # NOTE (r6, measured): do NOT persist/checkpoint the input edge plan
+    # here. Round 1 references it from several branches, but Spark's
+    # shuffle-file reuse already serves the repeated reads from the
+    # first execution's map outputs — an interleaved A/B (minhash-pair
+    # input, sf0.1, local[32], 3 reps) measured persist+count at
+    # 5.6-6.2 s vs 4.5-5.4 s for the plain plan, i.e. the extra
+    # materialization job costs more than the "recomputation" it saves.
     spark = edges.sparkSession
     prev_sig = None
     for round_idx in range(max_rounds):
