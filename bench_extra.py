@@ -149,6 +149,125 @@ def mode_replay(n_events: int) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def mode_zone_ab() -> None:
+    """VERDICT r5 #7: the zone-scan payoff as numbers — scan_zone vs
+    read().filter over the same clustered table: files opened and wall,
+    identical row counts."""
+    import datetime
+
+    from pyspark.sql import functions as F, types as T
+
+    from datax_spark.lake.merge import bulk_load
+    from datax_spark.lake.table import LakeTable
+
+    spark = _spark()
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ])
+    base = tempfile.mkdtemp(prefix="datax_zab_", dir="/dev/shm")
+    try:
+        table = LakeTable.create(spark, f"{base}/t", schema,
+                                 key_col="event_id", num_buckets=4)
+        bulk_load(table, ev)
+        table.cluster_by("ts", max_records_per_file=max(200, ev.count() // 32))
+        lo, hi = datetime.datetime(2024, 1, 3), datetime.datetime(2024, 1, 8)
+        kept, pruned = table.zone_prune_plan(lo, hi)
+        out = {"files_total": len(kept) + len(pruned), "files_kept": len(kept),
+               "skip_ratio": round(len(pruned) / (len(kept) + len(pruned)), 3)}
+        cond = (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+        for label, mk in (("zone", lambda: table.scan_zone(lo, hi)),
+                          ("full", lambda: table.read().filter(cond))):
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                n = mk().count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            out[f"{label}_wall_sec"] = round(best, 3)
+            out[f"{label}_rows"] = n
+            out[f"{label}_files_read"] = len(set(mk().inputFiles()))
+        print("ZONE_AB " + json.dumps(out))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def mode_scd2_hotkey(n_versions: int = 100_000, n_other: int = 100_000) -> None:
+    """VERDICT r5 #9: does the SCD2 interval window die on per-key
+    version skew? One key carries ``n_versions`` versions (a 10^5-deep
+    window partition) next to ``n_other`` single-version keys."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.cdc.scd2 import scd2_snapshot
+
+    spark = _spark()
+    hot = spark.range(n_versions).select(
+        F.lit(0).alias("user_id"),
+        F.lit("U").alias("op"),
+        F.timestamp_seconds(F.col("id") + 1).alias("ts"),
+        (F.col("id") + 1).alias("lsn"),
+        F.lit("e").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+    )
+    cold = spark.range(n_other).select(
+        (F.col("id") + 1).alias("user_id"),
+        F.lit("I").alias("op"),
+        F.timestamp_seconds(F.lit(1)).alias("ts"),
+        (F.col("id") + n_versions + 1).alias("lsn"),
+        F.lit("e").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+    )
+    ch = hot.unionByName(cold)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        n = scd2_snapshot(ch, "user_id", ts_col="ts", lsn_col="lsn",
+                          op_col="op").count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    print("SCD2_HOTKEY " + json.dumps(
+        {"hot_versions": n_versions, "cold_keys": n_other,
+         "rows_out": n, "wall_sec": round(best, 2)}))
+
+
+def mode_semdedup_scale() -> None:
+    """VERDICT r5 #3 evidence: fixed k is quadratic in n, k ~ n/target
+    (target_cluster_size) is ~linear — measured on synthetic unit-norm-
+    free embeddings at 1x/4x/10x rows."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.operators.clustering import semantic_dedup_pairs
+
+    spark = _spark()
+    dim, base_n = 64, 2000
+    out = []
+    for mult in (1, 4, 10):
+        n = base_n * mult
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: (F.pmod(F.xxhash64(F.col("id"), d), F.lit(2001))
+                           - 1000.0) / 1000.0,
+            ).alias("embedding"),
+        ).repartition(CPUS).persist()
+        emb.count()
+        row = {"n": n}
+        for label, kw in (("fixed_k8", dict(k=8)),
+                          ("target250", dict(target_cluster_size=250))):
+            t0 = time.time()
+            semantic_dedup_pairs(emb, iters=3, threshold=0.99, **kw) \
+                .write.format("noop").mode("overwrite").save()
+            row[label + "_sec"] = round(time.time() - t0, 2)
+        out.append(row)
+        emb.unpersist()
+        print("SEMDEDUP_SCALE " + json.dumps(row), flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "queries"
     if mode == "queries":
@@ -157,5 +276,11 @@ if __name__ == "__main__":
         mode_plans(sys.argv[2], sys.argv[3:])
     elif mode == "replay":
         mode_replay(int(sys.argv[2]) if len(sys.argv) > 2 else 1_600_000)
+    elif mode == "zone_ab":
+        mode_zone_ab()
+    elif mode == "scd2_hotkey":
+        mode_scd2_hotkey(*(int(a) for a in sys.argv[2:4]))
+    elif mode == "semdedup_scale":
+        mode_semdedup_scale()
     else:
         raise SystemExit(f"unknown mode {mode}")

@@ -91,6 +91,14 @@ def scd2_snapshot(
     column stringifies identically across engines in the oracle gate).
     Attribute columns are all input columns except key/ts/lsn/op.
     Duplicate (key, lsn) deliveries collapse to one change.
+
+    Per-key skew ceiling (measured r6, ``bench_extra.py scd2_hotkey``):
+    one key with 10^5 versions beside 10^5 single-version keys derives
+    in 1.4 s at local[32] — the window's lag/lead state is O(1) per row,
+    so a hot key costs one task sorting its own versions, linear in that
+    key's depth. The honest ceiling is a SINGLE key whose version rows
+    exceed one task's spill-friendly sort (~10^8 rows); past that, split
+    the feed by lsn range and fold via ``Scd2Table`` batches.
     """
     attr_cols = [c for c in changes.columns if c not in (key_col, ts_col, lsn_col, op_col)]
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(lsn_col).asc())
