@@ -48,7 +48,7 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     return e.filter(F.col("u") != F.col("v")).distinct()
 
 
-def _star_step(e: DataFrame, large: bool) -> DataFrame:
+def _star_step(e: DataFrame, large: bool, dedup: bool = True) -> DataFrame:
     """One large-star (large=True) or small-star round.
 
     Works on the undirected neighborhood view (both directions) of the
@@ -76,11 +76,16 @@ def _star_step(e: DataFrame, large: bool) -> DataFrame:
         out = joined.filter(F.col("v") <= F.col("u")).select(
             F.col("v").alias("n"), "m"
         ).unionAll(mins.select(F.col("u").alias("n"), m.alias("m")))
-    return (
-        out.filter(F.col("n") != F.col("m"))
-        .select(F.col("n").alias("u"), F.col("m").alias("v"))
-        .distinct()
-    )
+    out = out.filter(F.col("n") != F.col("m")).select(
+        F.col("n").alias("u"), F.col("m").alias("v"))
+    # ``dedup=False`` skips this step's distinct exchange; the star
+    # algebra is multiset-insensitive (min aggregates ignore edge
+    # multiplicity), so a round may dedupe ONCE after its second step —
+    # set semantics are restored at every round boundary before the
+    # signature/fixpoint check. Interleaved A/B (sf0.1 minhash pairs,
+    # local[32], 3 reps): 4.3/4.3/3.7 s with per-step distinct vs
+    # 3.4/3.8/3.5 s with per-round, identical components.
+    return out.distinct() if dedup else out
 
 
 def connected_components(
@@ -105,8 +110,8 @@ def connected_components(
     spark = edges.sparkSession
     prev_sig = None
     for round_idx in range(max_rounds):
-        e = _star_step(e, large=True)
-        e = _star_step(e, large=False)
+        e = _star_step(e, large=True, dedup=False)
+        e = _star_step(e, large=False)  # dedups for the round
         # cut lineage: iterative plans go quadratic without this
         e = e.localCheckpoint(eager=True)
         # order-insensitive multiset signature; bit_xor (not sum) because

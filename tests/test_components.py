@@ -119,3 +119,21 @@ def test_pathological_giant_star_and_hub(spark):
     rows = comp.collect()
     assert len(rows) == n + 50
     assert {r["component"] for r in rows} == {0}
+
+
+def test_per_round_dedup_matches_per_step(spark):
+    """r6: the round loop skips large-star's distinct (the star algebra
+    is multiset-insensitive; the round's second step restores set
+    semantics). Pin: running both star steps with per-step distinct
+    yields the same round-1 edge set as the shipped per-round form, on
+    a graph with chains, a hub, and parallel-ish edges."""
+    from datax_spark.operators.components import _canonical_edges, _star_step
+
+    edges = [(1, 2), (2, 3), (3, 4), (9, 4), (5, 6)] + [(0, i) for i in
+             range(10, 40)] + [(2, 1), (4, 3)]  # reversed dups too
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    e = _canonical_edges(df, "id_a", "id_b")
+    per_step = _star_step(_star_step(e, large=True, dedup=True), large=False)
+    per_round = _star_step(_star_step(e, large=True, dedup=False), large=False)
+    assert sorted(map(tuple, per_step.collect())) == \
+        sorted(map(tuple, per_round.collect()))
