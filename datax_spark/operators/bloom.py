@@ -91,7 +91,11 @@ def bloom_build(
     """
     key = F.col(key_col)
     pos = F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("pos")
-    rows = (
+    # Arrow collect (toPandas), not Row-object collect: a 2^23-bit
+    # filter can return up to 131k (word, bits) rows and the Row path
+    # deserializes each into a python object — columnar transport +
+    # one vectorized scatter is ~10x lighter, identical bits (r6).
+    pdf = (
         df.where(key.isNotNull())
         .select(pos)
         .select(
@@ -102,11 +106,10 @@ def bloom_build(
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
-        .collect()
+        .toPandas()
     )
     words = np.zeros(num_bits // 64, dtype=np.uint64)
-    for r in rows:
-        words[int(r["word"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    words[pdf["word"].to_numpy()] = pdf["bits"].to_numpy().astype(np.uint64)
     return BloomFilter(words, num_bits, num_hashes)
 
 
@@ -151,7 +154,7 @@ def bucket_blooms(
     zero, correctness never does."""
     key = F.col(key_col)
     pos = F.explode(F.array(*_positions(key, num_bits, num_hashes))).alias("pos")
-    rows = (
+    pdf = (
         df.where(key.isNotNull())
         .select(F.col(bucket_col).alias("_bb"), pos)
         .select(
@@ -161,14 +164,17 @@ def bucket_blooms(
         )
         .groupBy("_bb", "word")
         .agg(F.bit_or("mask").alias("bits"))
-        .collect()
+        .toPandas()  # Arrow transport; see bloom_build
     )
     out: dict[int, np.ndarray] = {}
-    for r in rows:
-        b = int(r["_bb"])
-        if b not in out:
-            out[b] = np.zeros(num_bits // 64, dtype=np.uint64)
-        out[b][int(r["word"])] = np.uint64(r["bits"] & 0xFFFFFFFFFFFFFFFF)
+    bb = pdf["_bb"].to_numpy()
+    word = pdf["word"].to_numpy()
+    bits = pdf["bits"].to_numpy().astype(np.uint64)
+    for b in np.unique(bb):
+        w = np.zeros(num_bits // 64, dtype=np.uint64)
+        sel = bb == b
+        w[word[sel]] = bits[sel]
+        out[int(b)] = w
     return {b: w.tobytes() for b, w in out.items()}
 
 

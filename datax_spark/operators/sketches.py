@@ -216,10 +216,14 @@ def heavy_hitters(df: DataFrame, cols: list[str], min_count: int,
     import pandas as pd
     from pyspark.sql import types as _T
 
-    counters = cms_counts(df, cols, depth, width).collect()
+    # Arrow collect (toPandas), not Row-object collect: the counter
+    # table is depth×width rows (16k at the gate's width) and the Row
+    # path deserializes each into a python object; columnar transport
+    # is ~10x lighter and the int64 values are identical (r6).
+    counters = cms_counts(df, cols, depth, width).toPandas()
     mat = np.zeros((depth, width), dtype=np.int64)
-    for r in counters:
-        mat[int(r["d"]), int(r["bucket"])] = int(r["cnt"])
+    mat[counters["d"].to_numpy(), counters["bucket"].to_numpy()] = (
+        counters["cnt"].to_numpy())
     thresh = int(min_count)
 
     def _ge(pos_arr):
